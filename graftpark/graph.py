@@ -1,0 +1,223 @@
+"""Graph data model: a canonical directed edge DataFrame + helpers.
+
+The reference's graph abstraction is an in-memory adjacency structure
+with dense 1-indexed integer vertices (reference: src/ParallelGraphs.jl:3-16,
+test/runtests.jl:33-45). Our Spark-native equivalent is:
+
+- ``edges(src: long, dst: long)`` — directed, deduplicated, self-loops
+  dropped. Undirected semantics = the symmetrized view (both
+  directions), mirroring the reference's ``dir=:both`` adjacency
+  (reference: src/traversals/coloring/BLAS_coloring.jl:26).
+- ``vertices(id: long)`` — the vertex set; includes isolated vertices
+  when supplied explicitly (dense ``1..n`` for reference-parity
+  fixtures).
+- ``degrees(id, out_deg, in_deg, deg)`` — `deg` counts distinct
+  undirected neighbors (reference `all_neighbors`,
+  src/traversals/coloring/greedy_coloring_seq.jl:20).
+
+Scale notes: the edge table is hash-repartitioned on its join key once
+and persisted, so every superstep's edges⋈state join reuses the same
+exchange (the Spark analogue of materializing Aᵀ once,
+reference: src/traversals/BFS/bfs_BLAS.jl:18).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def normalize_edges(edges: DataFrame, drop_self_loops: bool = True) -> DataFrame:
+    """Canonicalize an edge DataFrame: long ids, dedup, no self-loops."""
+    out = (
+        edges.select(F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    )
+    if drop_self_loops:
+        out = out.where(F.col("src") != F.col("dst"))
+    return out.distinct()
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Undirected view: every edge in both directions, deduplicated."""
+    return edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+
+
+def densify_ids(df: DataFrame, col: str, num_partitions: int | None = None) -> DataFrame:
+    """Map distinct values of ``col`` to dense 1..n longs, deterministically.
+
+    Scalable alternative to ``row_number() OVER (ORDER BY col)`` (which
+    collapses to a single partition): range-partition the distinct
+    values, count rows per partition, then rank within each partition
+    and add the partition's prefix-sum offset. Each window is
+    per-partition, so the sort parallelizes. (SURVEY.md §1.2)
+
+    Returns ``(col, id)`` with id dense 1..n in ``col``'s sort order.
+    """
+    from pyspark.sql import Window
+
+    distinct = df.select(col).distinct()
+    n_part = num_partitions or distinct.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    parted = distinct.repartitionByRange(int(n_part), F.col(col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    parted = parted.persist(StorageLevel.MEMORY_AND_DISK)
+    counts = {r["_pid"]: r["cnt"] for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    spark = df.sparkSession
+    offsets_df = F.broadcast(
+        spark.createDataFrame([(pid, off) for pid, off in offsets.items()], "_pid INT, _offset LONG")
+    )
+    w = Window.partitionBy("_pid").orderBy(col)
+    out = (
+        parted.join(offsets_df, "_pid")
+        .withColumn("id", F.row_number().over(w).cast("long") + F.col("_offset"))
+        .select(col, "id")
+    )
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    parted.unpersist()
+    return out
+
+
+class Graph:
+    """A directed graph held as DataFrames, persisted for iteration."""
+
+    def __init__(self, edges: DataFrame, vertices: DataFrame | None = None):
+        self.spark: SparkSession = edges.sparkSession
+        self.edges = normalize_edges(edges)
+        if vertices is not None:
+            self._vertices = vertices.select(F.col("id").cast("long").alias("id")).distinct()
+        else:
+            self._vertices = None
+        self._persisted: list[DataFrame] = []
+        self._edges_sym: DataFrame | None = None
+        self._degrees: DataFrame | None = None
+
+    # -- construction -------------------------------------------------
+    @classmethod
+    def from_edge_list(cls, spark: SparkSession, pairs, n: int | None = None, directed: bool = False) -> "Graph":
+        """Build from python (u, v) pairs; undirected input is symmetrized.
+
+        ``n`` adds the dense vertex set 1..n (isolated vertices included),
+        matching the reference's positional arrays (test/runtests.jl:42-45).
+        """
+        pairs = list(pairs)
+        edges = spark.createDataFrame([(int(u), int(v)) for u, v in pairs] or [], "src LONG, dst LONG")
+        if not directed:
+            edges = symmetrize(edges)
+        vertices = None
+        if n is not None:
+            vertices = spark.range(1, n + 1).select(F.col("id"))
+        return cls(edges, vertices)
+
+    @classmethod
+    def from_csv(cls, spark: SparkSession, path: str, directed: bool = True) -> "Graph":
+        """Edge-list CSV `u,v` per line (reference S1, test/runtests.jl:297-305)."""
+        edges = spark.read.schema("src LONG, dst LONG").csv(path)
+        if not directed:
+            edges = symmetrize(edges)
+        return cls(edges)
+
+    # -- derived tables ----------------------------------------------
+    def vertices(self) -> DataFrame:
+        if self._vertices is None:
+            self._vertices = (
+                self.edges.select(F.col("src").alias("id"))
+                .union(self.edges.select(F.col("dst").alias("id")))
+                .distinct()
+            )
+        return self._vertices
+
+    def num_vertices(self) -> int:
+        return self.vertices().count()
+
+    def edges_sym(self) -> DataFrame:
+        if self._edges_sym is None:
+            self._edges_sym = symmetrize(self.edges)
+        return self._edges_sym
+
+    def degrees(self) -> DataFrame:
+        """(id, out_deg, in_deg, deg); deg over the symmetrized view."""
+        if self._degrees is None:
+            out_deg = self.edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_deg"))
+            in_deg = self.edges.groupBy(F.col("dst").alias("id")).agg(F.count("*").alias("in_deg"))
+            deg = self.edges_sym().groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+            self._degrees = (
+                self.vertices()
+                .join(out_deg, "id", "left")
+                .join(in_deg, "id", "left")
+                .join(deg, "id", "left")
+                .select(
+                    "id",
+                    F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+                    F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+                    F.coalesce("deg", F.lit(0)).alias("deg"),
+                )
+            )
+        return self._degrees
+
+    # -- iteration prep ------------------------------------------------
+    def persist_for_iteration(self, num_partitions: int | None = None) -> "Graph":
+        """Repartition edge tables on their superstep join key and persist.
+
+        Push-style gather joins on ``src`` (edges ⋈ state on src →
+        groupBy(dst)), so both directed and symmetrized tables are
+        hash-partitioned by src once; every subsequent superstep reuses
+        the exchange instead of reshuffling E rows per iteration.
+        """
+        n = num_partitions or int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        self.edges = self.edges.repartition(n, "src").persist(StorageLevel.MEMORY_AND_DISK)
+        self.edges.count()
+        self._edges_sym = symmetrize(self.edges).repartition(n, "src").persist(StorageLevel.MEMORY_AND_DISK)
+        self._edges_sym.count()
+        self._vertices = self.vertices().persist(StorageLevel.MEMORY_AND_DISK)
+        self._vertices.count()
+        self._persisted += [self.edges, self._edges_sym, self._vertices]
+        return self
+
+    def unpersist(self) -> None:
+        for df in self._persisted:
+            df.unpersist()
+        self._persisted = []
+
+
+def edges_from_testdata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer→supplier link graph derived from the driver's parquet.
+
+    ``src = o_custkey``, ``dst = l_suppkey + 1_000_000`` (offset keeps the
+    bipartite id spaces disjoint), distinct. (FIXTURES.md §3)
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(F.col("o_custkey").alias("src"), (F.col("l_suppkey") + F.lit(1_000_000)).alias("dst"))
+        .distinct()
+    )
+
+
+def nation_edges_from_testdata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense nation→nation graph: customer-nation → supplier-nation links.
+
+    Small (≤25 vertices) but cyclic and triangle-rich — the SQL-oracle
+    fixture for triangles / components / label propagation (FIXTURES.md §3).
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .select(
+            F.col("c_nationkey").cast("long").alias("src"),
+            F.col("s_nationkey").cast("long").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )

@@ -1,0 +1,120 @@
+"""PageRank — power iteration with damping, the engine's flagship kernel.
+
+Schema-B superstep (full-vector iteration with per-vertex semiring
+reduce, the generalization of the reference's weight-update SpMV,
+reference: src/traversals/coloring/BLAS_coloring.jl:119-130):
+
+    contribs = edges ⋈ state ON src   (edges pre-partitioned by src,
+                                       state partitioned by id → no
+                                       edge shuffle per superstep)
+    sums     = contribs.groupBy(dst).agg(sum)   (the ONE E-row shuffle;
+                                       partial aggregation map-side)
+    state'   = state ⟕ sums ON id=dst (co-partitioned → no shuffle)
+    rank'    = (1-α)/N + α·(sum + dangling_mass/N)
+
+Dangling mass (Σ rank over out_deg=0) and the L1 convergence delta are
+computed in the SAME single aggregate job on the merged state, so each
+superstep runs exactly one E-row job plus one V-row agg (SURVEY.md §4.3.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from graftpark.graph import Graph
+from graftpark.loop import Checkpointer, LoopResult, iterate, resume_point
+
+
+def pagerank(
+    graph: Graph,
+    alpha: float = 0.85,
+    tol: float = 1e-6,
+    max_supersteps: int = 100,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = False,
+    num_partitions: int | None = None,
+) -> LoopResult:
+    """Ranks sum to 1 over the full vertex set (isolated vertices included).
+
+    Returns LoopResult whose state is ``(id, rank, out_deg, prev_rank)``;
+    select ``(id, rank)`` for the result table.
+    """
+    spark = graph.spark
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    graph.persist_for_iteration(n_part)
+    edges = graph.edges
+    n = graph.num_vertices()
+    if n == 0:
+        return LoopResult(state=spark.createDataFrame([], "id LONG, rank DOUBLE"), converged=True)
+
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_deg"))
+    init = (
+        graph.vertices()
+        .join(out_deg, "id", "left")
+        .select(
+            "id",
+            F.lit(1.0 / n).alias("rank"),
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.lit(0.0).alias("prev_rank"),
+        )
+        .repartition(n_part, "id")
+    )
+
+    checkpointer = Checkpointer(checkpoint_dir, every=checkpoint_every) if checkpoint_dir else None
+    start, initial_metrics, state0 = 1, None, init
+    # carried scalar: dangling mass of the current state (updated from the
+    # same agg that computes the convergence delta — no extra job)
+    dangling = {"mass": 0.0}
+
+    if resume and checkpointer is not None:
+        rp = resume_point(checkpointer, spark)
+        if rp is not None:
+            state0, last, initial_metrics = rp
+            start = last + 1
+            dangling["mass"] = initial_metrics[-1]["dangling_mass"] if initial_metrics else 0.0
+    if start == 1:
+        dangling["mass"] = (
+            init.where(F.col("out_deg") == 0).agg(F.sum("rank")).collect()[0][0] or 0.0
+        )
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        contribs = (
+            edges.join(state.where(F.col("out_deg") > 0), edges.src == F.col("id"))
+            .select(F.col("dst"), (F.col("rank") / F.col("out_deg")).alias("c"))
+        )
+        sums = contribs.groupBy("dst").agg(F.sum("c").alias("s"))
+        base = (1.0 - alpha) / n + alpha * dangling["mass"] / n
+        return (
+            state.join(sums, state.id == sums.dst, "left")
+            .select(
+                state.id.alias("id"),
+                (F.lit(base) + F.lit(alpha) * F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"),
+                state.out_deg.alias("out_deg"),
+                state.rank.alias("prev_rank"),
+            )
+        )
+
+    def stats(new: DataFrame, prev: DataFrame, i: int) -> dict:
+        row = new.agg(
+            F.sum(F.abs(F.col("rank") - F.col("prev_rank"))).alias("delta"),
+            F.sum(F.when(F.col("out_deg") == 0, F.col("rank")).otherwise(F.lit(0.0))).alias("dm"),
+            F.count(F.when(F.abs(F.col("rank") - F.col("prev_rank")) > tol / n, True)).alias("active"),
+        ).collect()[0]
+        dangling["mass"] = row["dm"] or 0.0
+        return {"delta": float(row["delta"]), "active": int(row["active"]), "dangling_mass": dangling["mass"]}
+
+    return iterate(
+        state0,
+        step,
+        stats,
+        converged_fn=lambda rec: rec["delta"] < tol,
+        max_supersteps=max_supersteps,
+        checkpointer=checkpointer,
+        start_superstep=start,
+        initial_metrics=initial_metrics,
+    )
+
+
+def ranks_df(result: LoopResult) -> DataFrame:
+    return result.state.select("id", "rank")

@@ -1,0 +1,163 @@
+"""Superstep loop spine: iteration, lineage truncation, checkpoint/resume.
+
+Every kernel is a driver-side level-synchronous loop over DataFrames —
+the Spark analogue of the reference's kernel lifecycle (frontier
+snapshot → parallel expand → barrier → termination reduce,
+reference: src/traversals/BFS/bfs_par.jl:30-45, bfs_BLAS.jl:35-77).
+
+Two problems Catalyst does not solve for us (SURVEY.md §4.3):
+
+1. **Iterative plan growth** — each superstep's DataFrame references the
+   previous one; after ~20 iterations analysis and task serialization
+   dominate. Fix: truncate lineage every ``truncate_every`` supersteps,
+   either via ``localCheckpoint(eager=True)`` or — when a durable
+   checkpoint directory is configured — by writing state to parquet and
+   re-reading it (which doubles as the resume checkpoint).
+2. **Convergence probes** — stats (delta, active count) are computed as
+   ONE aggregate job on the freshly persisted state, not separate
+   count()/collect() probes.
+
+Checkpoint layout (north_rule: resumable with per-partition lineage):
+
+    {run_dir}/superstep=00007/state/*.parquet   (with _SUCCESS marker)
+    {run_dir}/superstep=00007/lineage.json      per-partition rows/min/max/hash
+    {run_dir}/metrics.jsonl                     one record per superstep
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+class Checkpointer:
+    """Durable parquet checkpoints with per-partition lineage + metrics."""
+
+    def __init__(self, run_dir: str, every: int = 5, id_col: str = "id"):
+        self.run_dir = run_dir
+        self.every = max(1, every)
+        self.id_col = id_col
+        os.makedirs(run_dir, exist_ok=True)
+
+    def _step_dir(self, superstep: int) -> str:
+        return os.path.join(self.run_dir, f"superstep={superstep:05d}")
+
+    def save(self, state: DataFrame, superstep: int) -> DataFrame:
+        """Write state + lineage; return the re-read (lineage-truncated) state."""
+        path = os.path.join(self._step_dir(superstep), "state")
+        state.write.mode("overwrite").parquet(path)
+        reread = state.sparkSession.read.parquet(path)
+        # per-partition lineage of the checkpoint as written
+        hash_cols = [F.col(c) for c in reread.columns]
+        lineage = (
+            reread.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(
+                F.count("*").alias("rows"),
+                F.min(self.id_col).alias("min_id"),
+                F.max(self.id_col).alias("max_id"),
+                F.sum(F.xxhash64(*hash_cols)).alias("content_hash"),
+            )
+            .orderBy("partition_id")
+            .collect()
+        )
+        with open(os.path.join(self._step_dir(superstep), "lineage.json"), "w") as f:
+            json.dump([r.asDict() for r in lineage], f)
+        return reread
+
+    def record_metrics(self, rec: dict) -> None:
+        with open(os.path.join(self.run_dir, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    def latest(self) -> int | None:
+        """Last superstep with a complete (_SUCCESS) state write."""
+        if not os.path.isdir(self.run_dir):
+            return None
+        best = None
+        for name in os.listdir(self.run_dir):
+            if name.startswith("superstep="):
+                step = int(name.split("=")[1])
+                if os.path.exists(os.path.join(self.run_dir, name, "state", "_SUCCESS")):
+                    best = step if best is None else max(best, step)
+        return best
+
+    def load(self, spark: SparkSession, superstep: int) -> DataFrame:
+        return spark.read.parquet(os.path.join(self._step_dir(superstep), "state"))
+
+    def load_metrics(self) -> list[dict]:
+        path = os.path.join(self.run_dir, "metrics.jsonl")
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+
+@dataclass
+class LoopResult:
+    state: DataFrame
+    metrics: list[dict] = field(default_factory=list)
+    supersteps: int = 0
+    converged: bool = False
+
+
+def iterate(
+    initial_state: DataFrame,
+    step_fn: Callable[[DataFrame, int], DataFrame],
+    stats_fn: Callable[[DataFrame, DataFrame, int], dict],
+    converged_fn: Callable[[dict], bool],
+    max_supersteps: int = 100,
+    checkpointer: Checkpointer | None = None,
+    truncate_every: int = 4,
+    start_superstep: int = 1,
+    initial_metrics: list[dict] | None = None,
+) -> LoopResult:
+    """Run a level-synchronous superstep loop.
+
+    ``step_fn(state, i)`` builds the next state (lazy); ``stats_fn(new,
+    prev, i)`` runs exactly one action and returns the convergence
+    record; ``converged_fn(stats)`` decides termination (the global
+    reduce, reference: src/traversals/BFS/bfs_BLAS.jl:62).
+    """
+    metrics = list(initial_metrics or [])
+    prev = initial_state.persist(StorageLevel.MEMORY_AND_DISK)
+    prev.count()
+    converged = False
+    i = start_superstep - 1
+    for i in range(start_superstep, max_supersteps + 1):
+        t0 = time.monotonic()
+        new = step_fn(prev, i)
+        do_durable = checkpointer is not None and i % checkpointer.every == 0
+        do_truncate = (i % truncate_every == 0) and not do_durable
+        if do_durable:
+            new = checkpointer.save(new, i)
+        if do_truncate:
+            new = new.localCheckpoint(eager=False)
+        new = new.persist(StorageLevel.MEMORY_AND_DISK)
+        stats = stats_fn(new, prev, i)
+        rec = {"superstep": i, "wall_s": time.monotonic() - t0, **stats}
+        metrics.append(rec)
+        if checkpointer is not None:
+            checkpointer.record_metrics(rec)
+        prev.unpersist()
+        prev = new
+        if converged_fn(rec):
+            converged = True
+            break
+    return LoopResult(state=prev, metrics=metrics, supersteps=i, converged=converged)
+
+
+def resume_point(
+    checkpointer: Checkpointer, spark: SparkSession
+) -> tuple[DataFrame, int, list[dict]] | None:
+    """(state, last_superstep, metrics) of the last complete checkpoint."""
+    last = checkpointer.latest()
+    if last is None:
+        return None
+    state = checkpointer.load(spark, last)
+    metrics = [m for m in checkpointer.load_metrics() if m["superstep"] <= last]
+    return state, last, metrics
