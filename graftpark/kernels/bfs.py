@@ -54,7 +54,6 @@ def bfs_parents(
     parents.count()
     frontier = parents.select("id")
     metrics: list[dict] = []
-    prev_claims: DataFrame | None = None
     level = 0
     while level < max_supersteps:
         level += 1
@@ -65,23 +64,15 @@ def bfs_parents(
             .agg(F.min("src").alias("parent"))
             .join(parents, F.col("dst") == parents.id, "left_anti")
             .select(F.col("dst").alias("id"), "parent")
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        ).localCheckpoint(eager=True)  # flat lineage per level (SURVEY.md §4.3.1)
         active = claims.count()
         metrics.append({"superstep": level, "wall_s": time.monotonic() - t0, "active": active})
-        if prev_claims is not None:
-            prev_claims.unpersist()
         if active == 0:
-            claims.unpersist()
             break
-        new_parents = parents.union(claims)
-        if level % 4 == 0:
-            new_parents = new_parents.localCheckpoint(eager=False)
-        new_parents = new_parents.persist(StorageLevel.MEMORY_AND_DISK)
-        new_parents.count()
+        new_parents = parents.union(claims).localCheckpoint(eager=True)
         parents.unpersist()
         parents = new_parents
         frontier = claims.select("id")
-        prev_claims = claims
     return LoopResult(state=parents, metrics=metrics, supersteps=level, converged=True)
 
 
@@ -99,7 +90,6 @@ def bfs_levels(
     levels = spark.createDataFrame([(source, 0)], "id LONG, level INT").persist(StorageLevel.MEMORY_AND_DISK)
     levels.count()
     frontier = levels.select("id")
-    prev_claims: DataFrame | None = None
     lvl = 0
     while lvl < max_supersteps:
         lvl += 1
@@ -109,20 +99,12 @@ def bfs_levels(
             .distinct()
             .join(levels, F.col("dst") == levels.id, "left_anti")
             .select(F.col("dst").alias("id"), F.lit(lvl).cast("int").alias("level"))
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        ).localCheckpoint(eager=True)
         active = claims.count()
-        if prev_claims is not None:
-            prev_claims.unpersist()
         if active == 0:
-            claims.unpersist()
             break
-        new_levels = levels.union(claims)
-        if lvl % 4 == 0:
-            new_levels = new_levels.localCheckpoint(eager=False)
-        new_levels = new_levels.persist(StorageLevel.MEMORY_AND_DISK)
-        new_levels.count()
+        new_levels = levels.union(claims).localCheckpoint(eager=True)
         levels.unpersist()
         levels = new_levels
         frontier = claims.select("id")
-        prev_claims = claims
     return levels

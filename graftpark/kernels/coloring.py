@@ -75,7 +75,7 @@ def mis_coloring(
         color += 1
         t0 = time.monotonic()
         cand = uncolored
-        is_acc = spark.createDataFrame([], "id LONG").persist(StorageLevel.MEMORY_AND_DISK)
+        is_acc = spark.createDataFrame([], "id LONG")
         inner_rounds = 0
         while True:
             inner_rounds += 1
@@ -88,40 +88,27 @@ def mis_coloring(
                 cand.join(nbr_max, cand.id == nbr_max.dst, "left")
                 .where(F.col("mw").isNull() | (F.col("w") > F.col("mw")))
                 .select(cand.id.alias("id"))
-            ).persist(StorageLevel.MEMORY_AND_DISK)
-            n_sel = sel.count()
-            if n_sel == 0:
-                sel.unpersist()
+            ).localCheckpoint(eager=True)
+            if sel.count() == 0:
                 break
-            new_acc = is_acc.union(sel).persist(StorageLevel.MEMORY_AND_DISK)
-            new_acc.count()
-            is_acc.unpersist()
-            is_acc = new_acc
+            is_acc = is_acc.union(sel).localCheckpoint(eager=True)
             knocked = sym.join(sel, sym.src == sel.id).select(sym.dst.alias("id")).distinct()
             removed = sel.select("id").union(knocked).distinct()
-            new_cand = cand.join(removed, "id", "left_anti").localCheckpoint(eager=False)
-            new_cand = new_cand.persist(StorageLevel.MEMORY_AND_DISK)
-            if new_cand.count() == 0:
-                sel.unpersist()
-                cand = new_cand
-                break
+            new_cand = cand.join(removed, "id", "left_anti").localCheckpoint(eager=True)
             if cand is not uncolored:
                 cand.unpersist()
             cand = new_cand
-            sel.unpersist()
+            if cand.count() == 0:
+                break
         colored = is_acc.select("id", F.lit(color).cast("int").alias("color"))
-        new_colors = colors.union(colored).localCheckpoint(eager=False).persist(StorageLevel.MEMORY_AND_DISK)
+        new_colors = colors.union(colored).localCheckpoint(eager=True)
         n_colored = new_colors.count()
         colors.unpersist()
         colors = new_colors
-        new_uncolored = (
-            uncolored.join(is_acc, "id", "left_anti").localCheckpoint(eager=False).persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        new_uncolored.count()
+        new_uncolored = uncolored.join(is_acc, "id", "left_anti").localCheckpoint(eager=True)
         if uncolored is not weights:
             uncolored.unpersist()
         uncolored = new_uncolored
-        is_acc.unpersist()
         metrics.append(
             {
                 "superstep": color,

@@ -54,14 +54,14 @@ class Checkpointer:
         state.write.mode("overwrite").parquet(path)
         reread = state.sparkSession.read.parquet(path)
         # per-partition lineage of the checkpoint as written
-        hash_cols = [F.col(c) for c in reread.columns]
         lineage = (
             reread.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(
                 F.count("*").alias("rows"),
                 F.min(self.id_col).alias("min_id"),
                 F.max(self.id_col).alias("max_id"),
-                F.sum(F.xxhash64(*hash_cols)).alias("content_hash"),
+                # xor-combine: order-insensitive and overflow-free under ANSI mode
+                F.expr("bit_xor(xxhash64(struct(*)))").alias("content_hash"),
             )
             .orderBy("partition_id")
             .collect()
@@ -112,7 +112,7 @@ def iterate(
     converged_fn: Callable[[dict], bool],
     max_supersteps: int = 100,
     checkpointer: Checkpointer | None = None,
-    truncate_every: int = 4,
+    truncate_every: int = 1,
     start_superstep: int = 1,
     initial_metrics: list[dict] | None = None,
 ) -> LoopResult:
@@ -132,12 +132,17 @@ def iterate(
         t0 = time.monotonic()
         new = step_fn(prev, i)
         do_durable = checkpointer is not None and i % checkpointer.every == 0
-        do_truncate = (i % truncate_every == 0) and not do_durable
         if do_durable:
+            # parquet write + re-read: durable resume point AND flat lineage
             new = checkpointer.save(new, i)
-        if do_truncate:
-            new = new.localCheckpoint(eager=False)
-        new = new.persist(StorageLevel.MEMORY_AND_DISK)
+            new = new.persist(StorageLevel.MEMORY_AND_DISK)
+        elif i % truncate_every == 0:
+            # eager local checkpoint: materializes AND flattens the logical
+            # plan — without this, Catalyst re-analysis of the growing join
+            # tree dominates after a handful of supersteps (SURVEY.md §4.3.1)
+            new = new.localCheckpoint(eager=True)
+        else:
+            new = new.persist(StorageLevel.MEMORY_AND_DISK)
         stats = stats_fn(new, prev, i)
         rec = {"superstep": i, "wall_s": time.monotonic() - t0, **stats}
         metrics.append(rec)

@@ -1,0 +1,76 @@
+import pytest
+
+from graftpark import oracles
+from graftpark.fixtures import FIXTURES, barabasi_albert
+from graftpark.graph import Graph
+from graftpark.kernels.coloring import greedy_coloring, mis_coloring
+from graftpark.kernels.triangles import triangle_count, triangles_per_vertex
+
+
+def _sym(edges):
+    return edges + [(v, u) for u, v in edges]
+
+
+@pytest.mark.parametrize("name", ["g4_cycle", "g6_two_comp", "g4_dir", "g15_dense"])
+def test_mis_coloring_proper_and_matches_oracle(spark, name):
+    n, directed, edges = FIXTURES[name]
+    g = Graph.from_edge_list(spark, edges, n=n, directed=directed)
+    res = mis_coloring(g)
+    got = {r["id"]: r["color"] for r in res.state.collect()}
+    assert set(got) == set(range(1, n + 1))  # every vertex colored (runtests.jl:343-344)
+    assert oracles.is_proper_coloring(_sym(edges), got)  # runtests.jl:351-356
+    expect = oracles.mis_coloring(_sym(edges), range(1, n + 1))
+    assert got == expect  # deterministic engine == deterministic oracle
+    num_colors = res.metrics[-1]["num_colors"]
+    assert num_colors == max(got.values())  # runtests.jl:634
+    max_deg = max(sum(1 for e in _sym(edges) if e[0] == v) for v in range(1, n + 1))
+    assert 1 <= num_colors <= max_deg + 1  # runtests.jl:592-603
+    g.unpersist()
+
+
+@pytest.mark.parametrize(
+    "name,chromatic",
+    [("g4_cycle", 2), ("g6_two_comp", 2), ("g4_dir", 3)],
+)
+def test_greedy_coloring_small_chromatic(spark, name, chromatic):
+    # reference asserts exact small-graph chromatic numbers for the greedy
+    # variants (runtests.jl:347-348,383-384,417-418)
+    n, directed, edges = FIXTURES[name]
+    g = Graph.from_edge_list(spark, edges, n=n, directed=directed)
+    for order in ("natural", "degree", "random"):
+        df, num_colors = greedy_coloring(g, order=order, n_times=3)
+        got = {r["id"]: r["color"] for r in df.collect()}
+        assert oracles.is_proper_coloring(_sym(edges), got)
+        assert num_colors == chromatic
+    g.unpersist()
+
+
+@pytest.mark.parametrize(
+    "name,expected",
+    [("g4_cycle", 0), ("g8_two_comp", 2), ("g6_two_comp", 0)],
+)
+def test_triangle_count_exact(spark, name, expected):
+    n, directed, edges = FIXTURES[name]
+    g = Graph.from_edge_list(spark, edges, n=n, directed=directed)
+    assert triangle_count(g) == expected
+    g.unpersist()
+
+
+def test_triangle_count_dense_and_ba(spark):
+    n, directed, edges = FIXTURES["g15_dense"]
+    g = Graph.from_edge_list(spark, edges, n=n, directed=directed)
+    assert triangle_count(g) == oracles.triangle_count(edges)
+    g.unpersist()
+    ba = barabasi_albert(80, 3, seed=7)
+    g2 = Graph.from_edge_list(spark, ba, n=80, directed=False)
+    assert triangle_count(g2) == oracles.triangle_count(ba)
+    g2.unpersist()
+
+
+def test_triangles_per_vertex(spark):
+    n, directed, edges = FIXTURES["g8_two_comp"]
+    g = Graph.from_edge_list(spark, edges, n=n, directed=directed)
+    got = {r["id"]: r["triangles"] for r in triangles_per_vertex(g).collect()}
+    # triangles {5,6,7} and {6,7,8}
+    assert got == {1: 0, 2: 0, 3: 0, 4: 0, 5: 1, 6: 2, 7: 2, 8: 1}
+    g.unpersist()

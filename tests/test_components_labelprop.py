@@ -1,0 +1,54 @@
+import pytest
+
+from graftpark import oracles
+from graftpark.fixtures import FIXTURES
+from graftpark.graph import Graph
+from graftpark.kernels.components import connected_components, components_df
+from graftpark.kernels.labelprop import label_propagation, labels_df
+
+
+def _sym(edges, directed):
+    return edges if directed else edges + [(v, u) for u, v in edges]
+
+
+@pytest.mark.parametrize("name", ["g4_cycle", "g6_two_comp", "g8_two_comp", "g4_dir", "g14_dir", "g30_hub"])
+def test_connected_components_exact(spark, name):
+    n, directed, edges = FIXTURES[name]
+    g = Graph.from_edge_list(spark, edges, n=n, directed=directed)
+    res = connected_components(g)
+    assert res.converged
+    got = {r["id"]: r["comp"] for r in components_df(res).collect()}
+    expect = oracles.connected_components(_sym(edges, directed), range(1, n + 1))
+    assert got == expect
+    g.unpersist()
+
+
+def test_components_two_comp_sets(spark):
+    n, directed, edges = FIXTURES["g6_two_comp"]
+    g = Graph.from_edge_list(spark, edges, n=n, directed=directed)
+    got = {r["id"]: r["comp"] for r in components_df(connected_components(g)).collect()}
+    assert {v for v, c in got.items() if c == 1} == {1, 2, 3}
+    assert {v for v, c in got.items() if c == 4} == {4, 5, 6}
+    g.unpersist()
+
+
+def test_components_isolated_vertices(spark):
+    g = Graph.from_edge_list(spark, [(1, 2)], n=4, directed=False)
+    got = {r["id"]: r["comp"] for r in components_df(connected_components(g)).collect()}
+    assert got == {1: 1, 2: 1, 3: 3, 4: 4}
+    g.unpersist()
+
+
+@pytest.mark.parametrize("name", ["g6_two_comp", "g8_two_comp", "g30_hub", "g15_dense"])
+def test_label_propagation_matches_oracle(spark, name):
+    n, directed, edges = FIXTURES[name]
+    g = Graph.from_edge_list(spark, edges, n=n, directed=directed)
+    res = label_propagation(g, max_supersteps=8)
+    got = {r["id"]: r["label"] for r in labels_df(res).collect()}
+    expect, iters = oracles.label_propagation(_sym(edges, directed), range(1, n + 1), max_iter=8)
+    assert got == expect
+    # labels partition components: every label's members share a component
+    comp = oracles.connected_components(_sym(edges, directed), range(1, n + 1))
+    for v, lab in got.items():
+        assert comp[v] == comp[lab]
+    g.unpersist()
