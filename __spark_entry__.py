@@ -1,38 +1,43 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship kernel — full PageRank power
+iteration (damping 0.85, tol 1e-6) over the customer→supplier link
+graph derived from the sf0.001 parquet tables — and returns the ranks
+DataFrame. ``queries()`` / ``oracle_sql()`` expose every
+DuckDB-checkable operator (see graftpark/driver_queries.py and
+SURVEY.md §2).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: PageRank to convergence on the sf0.001-derived edges."""
+    from pyspark.sql import functions as F
+
+    from graftpark.graph import Graph, edges_from_testdata
+    from graftpark.kernels.pagerank import pagerank
+
+    g = Graph(edges_from_testdata(spark, "/root/testdata/sf0.001"))
+    res = pagerank(g, alpha=0.85, tol=1e-6, max_supersteps=100)
+    return res.state.select("id", F.round("rank", 8).alias("rank"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from graftpark.driver_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from graftpark.driver_queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)
