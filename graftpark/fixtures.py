@@ -75,6 +75,37 @@ def barabasi_albert(n: int, m: int, seed: int = 42) -> list[tuple[int, int]]:
     return edges
 
 
+def powerlaw_edges_pdf(
+    n_edges: int, n_vertices: int, s_out: float = 0.7, s_in: float = 0.5, seed: int = 42
+):
+    """Vectorized seeded power-law edge table, deduplicated, self-loops
+    dropped — the at-scale skew/throughput fixture. Out- and in-degree
+    both follow truncated power laws P(i) ∝ i^-s (inverse-transform
+    sampling over a permuted id space so hub sources ≠ hub sinks); with
+    the defaults at n=2M the top out-hub sources ~1.3% of edges and the
+    top in-hub receives ~0.07% — strong, realistic web skew without
+    being degenerate. Returns a pandas DataFrame (src, dst) of int64,
+    deterministic for a given seed."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(seed)
+    # oversample to survive dedup/self-loop loss
+    m = int(n_edges * 1.35)
+
+    def sample(s: float, size: int):
+        u = rng.random_sample(size)
+        x = np.ceil(n_vertices * u ** (1.0 / (1.0 - s))).astype("int64")
+        return np.clip(x, 1, n_vertices)
+
+    src = sample(s_out, m)
+    # offset-permute the in-degree ranking so hub sinks differ from hub sources
+    dst = (sample(s_in, m) + n_vertices // 2 - 1) % n_vertices + 1
+    pdf = pd.DataFrame({"src": src.astype("int64"), "dst": dst.astype("int64")})
+    pdf = pdf[pdf.src != pdf.dst].drop_duplicates()
+    return pdf.head(n_edges).reset_index(drop=True)
+
+
 def star_graph(n: int) -> list[tuple[int, int]]:
     """Max-skew hub fixture (benchmark/benchmarks.jl:100-104)."""
     return [(1, k) for k in range(2, n + 1)]

@@ -23,8 +23,27 @@ reference: src/traversals/BFS/bfs_BLAS.jl:18).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.storagelevel import StorageLevel
+
+#: above this vertex count, kernels stop broadcasting vertex state and
+#: switch to co-partitioned (key='src') joins + AQE skew splitting —
+#: the broadcast hash-relation build is single-threaded, so it becomes
+#: the Amdahl serial fraction of every superstep on larger graphs
+BROADCAST_V_LIMIT = int(os.environ.get("GRAFTPARK_BROADCAST_V_LIMIT", "1000000"))
+
+
+def choose_strategy(n_vertices: int, broadcast_state: bool | None = None) -> bool:
+    """True → broadcast-state + balanced edges; False → co-partitioned."""
+    if broadcast_state is not None:
+        return broadcast_state
+    return n_vertices <= BROADCAST_V_LIMIT
+
+
+def maybe_broadcast(df: DataFrame, enabled: bool) -> DataFrame:
+    return F.broadcast(df) if enabled else df
 
 
 def normalize_edges(edges: DataFrame, drop_self_loops: bool = True) -> DataFrame:
@@ -161,22 +180,39 @@ class Graph:
         return self._degrees
 
     # -- iteration prep ------------------------------------------------
-    def persist_for_iteration(self, num_partitions: int | None = None) -> "Graph":
-        """Repartition edge tables on their superstep join key and persist.
+    def persist_for_iteration(
+        self, num_partitions: int | None = None, key: str | None = None, sym: bool = True
+    ) -> "Graph":
+        """Partition + persist the edge tables once for the superstep loop.
 
-        Push-style gather joins on ``src`` (edges ⋈ state on src →
-        groupBy(dst)), so both directed and symmetrized tables are
-        hash-partitioned by src once; every subsequent superstep reuses
-        the exchange instead of reshuffling E rows per iteration.
+        ``key=None`` (default): **balanced round-robin partitions** — the
+        skew-proof layout. Kernels then bring the (slim) vertex state TO
+        the edges via a broadcast join, so a power-law hub vertex cannot
+        concentrate its out-edges in one task (GraphX-style replicated
+        vertex view). Use with broadcastable state (V ≤
+        GRAFTPARK_BROADCAST_V_LIMIT).
+
+        ``key='src'``: hash-partition by the gather key — the
+        co-partitioned layout for graphs whose vertex state is too big
+        to broadcast; the per-superstep state shuffle is V rows, edges
+        never reshuffle, and AQE skew-join splitting handles moderate
+        hub skew.
         """
         n = num_partitions or int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-        self.edges = self.edges.repartition(n, "src").persist(StorageLevel.MEMORY_AND_DISK)
+        if getattr(self, "_prepared", None) == (n, key, sym):
+            return self
+        self._prepared = (n, key, sym)
+        repart = (lambda df: df.repartition(n, key)) if key else (lambda df: df.repartition(n))
+        self.edges = repart(self.edges).persist(StorageLevel.MEMORY_AND_DISK)
         self.edges.count()
-        self._edges_sym = symmetrize(self.edges).repartition(n, "src").persist(StorageLevel.MEMORY_AND_DISK)
-        self._edges_sym.count()
+        self._persisted.append(self.edges)
+        if sym:
+            self._edges_sym = repart(symmetrize(self.edges)).persist(StorageLevel.MEMORY_AND_DISK)
+            self._edges_sym.count()
+            self._persisted.append(self._edges_sym)
         self._vertices = self.vertices().persist(StorageLevel.MEMORY_AND_DISK)
         self._vertices.count()
-        self._persisted += [self.edges, self._edges_sym, self._vertices]
+        self._persisted.append(self._vertices)
         return self
 
     def unpersist(self) -> None:

@@ -28,7 +28,7 @@ import time
 from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
-from graftpark.graph import Graph
+from graftpark.graph import Graph, choose_strategy, maybe_broadcast
 from graftpark.loop import LoopResult
 
 
@@ -46,7 +46,8 @@ def bfs_parents(
         return LoopResult(state=spark.createDataFrame([], "id LONG, parent LONG"), converged=True)
     if graph.vertices().where(F.col("id") == source).count() == 0:
         raise ValueError(f"invalid BFS source {source}")
-    graph.persist_for_iteration(n_part)
+    use_bc = choose_strategy(graph.num_vertices())
+    graph.persist_for_iteration(n_part, key=None if use_bc else "src")
     edges = graph.edges if directed else graph.edges_sym()
 
     parents = spark.createDataFrame([(source, source)], "id LONG, parent LONG").repartition(n_part, "id")
@@ -59,7 +60,7 @@ def bfs_parents(
         level += 1
         t0 = time.monotonic()
         claims = (
-            edges.join(frontier, edges.src == frontier.id)
+            edges.join(maybe_broadcast(frontier, use_bc), edges.src == frontier.id)
             .groupBy("dst")
             .agg(F.min("src").alias("parent"))
             .join(parents, F.col("dst") == parents.id, "left_anti")
@@ -85,7 +86,8 @@ def bfs_levels(
         return spark.createDataFrame([], "id LONG, level INT")
     if graph.vertices().where(F.col("id") == source).count() == 0:
         raise ValueError(f"invalid BFS source {source}")
-    graph.persist_for_iteration()
+    use_bc = choose_strategy(graph.num_vertices())
+    graph.persist_for_iteration(key=None if use_bc else "src")
     edges = graph.edges if directed else graph.edges_sym()
     levels = spark.createDataFrame([(source, 0)], "id LONG, level INT").persist(StorageLevel.MEMORY_AND_DISK)
     levels.count()
@@ -94,7 +96,7 @@ def bfs_levels(
     while lvl < max_supersteps:
         lvl += 1
         claims = (
-            edges.join(frontier, edges.src == frontier.id)
+            edges.join(maybe_broadcast(frontier, use_bc), edges.src == frontier.id)
             .select("dst")
             .distinct()
             .join(levels, F.col("dst") == levels.id, "left_anti")

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from graftpark import oracles
-from graftpark.graph import Graph
+from graftpark.graph import Graph, choose_strategy, maybe_broadcast
 from graftpark.loop import LoopResult
 
 
@@ -49,9 +49,10 @@ def mis_coloring(
     ``num_colors``. Proper coloring over the symmetrized graph."""
     spark = graph.spark
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    graph.persist_for_iteration(n_part)
-    sym = graph.edges_sym()
     n = graph.num_vertices()
+    use_bc = choose_strategy(n)
+    graph.persist_for_iteration(n_part, key=None if use_bc else "src")
+    sym = graph.edges_sym()
     if n == 0:
         return LoopResult(state=spark.createDataFrame([], "id LONG, color INT"), converged=True)
 
@@ -80,7 +81,7 @@ def mis_coloring(
         while True:
             inner_rounds += 1
             nbr_max = (
-                sym.join(cand, sym.src == cand.id)
+                sym.join(maybe_broadcast(cand, use_bc), sym.src == cand.id)
                 .groupBy("dst")
                 .agg(F.max("w").alias("mw"))
             )
@@ -92,7 +93,7 @@ def mis_coloring(
             if sel.count() == 0:
                 break
             is_acc = is_acc.union(sel).localCheckpoint(eager=True)
-            knocked = sym.join(sel, sym.src == sel.id).select(sym.dst.alias("id")).distinct()
+            knocked = sym.join(maybe_broadcast(sel, use_bc), sym.src == sel.id).select(sym.dst.alias("id")).distinct()
             removed = sel.select("id").union(knocked).distinct()
             new_cand = cand.join(removed, "id", "left_anti").localCheckpoint(eager=True)
             if cand is not uncolored:

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from graftpark.graph import Graph
+from graftpark.graph import Graph, choose_strategy, maybe_broadcast
 from graftpark.loop import Checkpointer, LoopResult, iterate, resume_point
 
 
@@ -27,11 +27,13 @@ def connected_components(
     checkpoint_every: int = 5,
     resume: bool = False,
     num_partitions: int | None = None,
+    broadcast_state: bool | None = None,
 ) -> LoopResult:
     """State: ``(id, comp, prev_comp)``; result = select(id, comp)."""
     spark = graph.spark
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    graph.persist_for_iteration(n_part)
+    use_bc = choose_strategy(graph.num_vertices(), broadcast_state)
+    graph.persist_for_iteration(n_part, key=None if use_bc else "src")
     sym = graph.edges_sym()
 
     init = (
@@ -48,23 +50,37 @@ def connected_components(
             start = last + 1
 
     def step(state: DataFrame, i: int) -> DataFrame:
-        nbr_min = (
-            sym.join(state, sym.src == state.id)
-            .groupBy("dst")
-            .agg(F.min("comp").alias("m"))
+        # single-shuffle superstep: neighbor labels UNION one carrier row
+        # per vertex (its own label, doubling as prev_comp), one
+        # groupBy(dst) → next state; no merge join (SURVEY.md P1/P5)
+        lbl = maybe_broadcast(state.select("id", "comp"), use_bc)
+        prop = sym.join(lbl, sym.src == lbl.id).select(
+            F.col("dst"), F.col("comp"), F.lit(None).cast("long").alias("prev")
         )
-        return state.join(nbr_min, state.id == nbr_min.dst, "left").select(
-            state.id.alias("id"),
-            F.least(state.comp, F.coalesce(F.col("m"), state.comp)).alias("comp"),
-            state.comp.alias("prev_comp"),
+        carriers = state.select(
+            F.col("id").alias("dst"), F.col("comp"), F.col("comp").alias("prev")
+        )
+        return (
+            prop.unionByName(carriers)
+            .groupBy("dst")
+            .agg(F.min("comp").alias("comp"), F.max("prev").alias("prev"))
+            .select(F.col("dst").alias("id"), "comp", F.col("prev").alias("prev_comp"))
         )
 
-    def stats(new: DataFrame, prev: DataFrame, i: int) -> dict:
-        row = new.agg(
-            F.count(F.when(F.col("comp") != F.col("prev_comp"), True)).alias("changed"),
-            F.countDistinct("comp").alias("num_components"),
-        ).collect()[0]
-        return {"delta": float(row["changed"]), "active": int(row["changed"]), "num_components": int(row["num_components"])}
+    def observe_cols() -> dict:
+        return {
+            "changed": F.count(F.when(F.col("comp") != F.col("prev_comp"), True)),
+            # approximate distinct rides free; exact count once at the end
+            "num_components_approx": F.approx_count_distinct("comp"),
+        }
+
+    def stats(observed: dict, prev: DataFrame, i: int) -> dict:
+        changed = int(observed["changed"])
+        return {
+            "delta": float(changed),
+            "active": changed,
+            "num_components_approx": int(observed["num_components_approx"]),
+        }
 
     return iterate(
         state0,
@@ -75,6 +91,7 @@ def connected_components(
         checkpointer=checkpointer,
         start_superstep=start,
         initial_metrics=initial_metrics,
+        observe_cols=observe_cols,
     )
 
 

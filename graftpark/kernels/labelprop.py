@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from graftpark.graph import Graph
+from graftpark.graph import Graph, choose_strategy, maybe_broadcast
 from graftpark.loop import Checkpointer, LoopResult, iterate, resume_point
 
 
@@ -26,11 +26,13 @@ def label_propagation(
     checkpoint_every: int = 5,
     resume: bool = False,
     num_partitions: int | None = None,
+    broadcast_state: bool | None = None,
 ) -> LoopResult:
     """State: ``(id, label, prev_label)``; result = select(id, label)."""
     spark = graph.spark
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    graph.persist_for_iteration(n_part)
+    use_bc = choose_strategy(graph.num_vertices(), broadcast_state)
+    graph.persist_for_iteration(n_part, key=None if use_bc else "src")
     sym = graph.edges_sym()
 
     init = (
@@ -47,28 +49,48 @@ def label_propagation(
             start = last + 1
 
     def step(state: DataFrame, i: int) -> DataFrame:
+        # neighbor labels weight 1, UNION a weight-0 carrier per vertex
+        # (its own label, doubling as prev_label). The carrier wins the
+        # mode argmax only when the vertex has no neighbors — exactly
+        # the keep-own-label rule — so no merge join is needed.
+        lbl = maybe_broadcast(state.select("id", "label"), use_bc)
+        prop = sym.join(lbl, sym.src == lbl.id).select(
+            F.col("dst"), F.col("label"), F.lit(1).alias("w"), F.lit(None).cast("long").alias("prev")
+        )
+        carriers = state.select(
+            F.col("id").alias("dst"), F.col("label"), F.lit(0).alias("w"), F.col("label").alias("prev")
+        )
         counts = (
-            sym.join(state, sym.src == state.id)
+            prop.unionByName(carriers)
             .groupBy("dst", "label")
-            .agg(F.count("*").alias("cnt"))
+            .agg(F.sum("w").alias("cnt"), F.max("prev").alias("prev"))
         )
-        best = (
+        return (
             counts.groupBy("dst")
-            .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("b"))
-            .select("dst", (-F.col("b.neg")).alias("new_label"))
-        )
-        return state.join(best, state.id == best.dst, "left").select(
-            state.id.alias("id"),
-            F.coalesce(F.col("new_label"), state.label).alias("label"),
-            state.label.alias("prev_label"),
+            .agg(
+                F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("b"),
+                F.max("prev").alias("prev"),
+            )
+            .select(
+                F.col("dst").alias("id"),
+                (-F.col("b.neg")).alias("label"),
+                F.col("prev").alias("prev_label"),
+            )
         )
 
-    def stats(new: DataFrame, prev: DataFrame, i: int) -> dict:
-        row = new.agg(
-            F.count(F.when(F.col("label") != F.col("prev_label"), True)).alias("changed"),
-            F.countDistinct("label").alias("num_labels"),
-        ).collect()[0]
-        return {"delta": float(row["changed"]), "active": int(row["changed"]), "num_labels": int(row["num_labels"])}
+    def observe_cols() -> dict:
+        return {
+            "changed": F.count(F.when(F.col("label") != F.col("prev_label"), True)),
+            "num_labels_approx": F.approx_count_distinct("label"),
+        }
+
+    def stats(observed: dict, prev: DataFrame, i: int) -> dict:
+        changed = int(observed["changed"])
+        return {
+            "delta": float(changed),
+            "active": changed,
+            "num_labels_approx": int(observed["num_labels_approx"]),
+        }
 
     return iterate(
         state0,
@@ -79,6 +101,7 @@ def label_propagation(
         checkpointer=checkpointer,
         start_superstep=start,
         initial_metrics=initial_metrics,
+        observe_cols=observe_cols,
     )
 
 

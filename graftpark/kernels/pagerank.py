@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from graftpark.graph import Graph
+from graftpark.graph import Graph, choose_strategy, maybe_broadcast
 from graftpark.loop import Checkpointer, LoopResult, iterate, resume_point
 
 
@@ -34,19 +34,27 @@ def pagerank(
     checkpoint_every: int = 5,
     resume: bool = False,
     num_partitions: int | None = None,
+    broadcast_state: bool | None = None,
 ) -> LoopResult:
     """Ranks sum to 1 over the full vertex set (isolated vertices included).
 
     Returns LoopResult whose state is ``(id, rank, out_deg, prev_rank)``;
     select ``(id, rank)`` for the result table.
+
+    Skew handling: with broadcastable state (the default below
+    GRAFTPARK_BROADCAST_V_LIMIT vertices) edges stay in balanced
+    partitions and the slim rank projection is broadcast to them, so a
+    power-law hub's out-edges are spread across all tasks; otherwise
+    co-partitioned joins + AQE skew splitting (graph.py docstring).
     """
     spark = graph.spark
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    graph.persist_for_iteration(n_part)
-    edges = graph.edges
     n = graph.num_vertices()
     if n == 0:
         return LoopResult(state=spark.createDataFrame([], "id LONG, rank DOUBLE"), converged=True)
+    use_bc = choose_strategy(n, broadcast_state)
+    graph.persist_for_iteration(n_part, key=None if use_bc else "src", sym=False)
+    edges = graph.edges
 
     out_deg = edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_deg"))
     init = (
@@ -79,30 +87,59 @@ def pagerank(
         )
 
     def step(state: DataFrame, i: int) -> DataFrame:
-        contribs = (
-            edges.join(state.where(F.col("out_deg") > 0), edges.src == F.col("id"))
-            .select(F.col("dst"), (F.col("rank") / F.col("out_deg")).alias("c"))
+        # single-shuffle superstep: edge contributions UNION one carrier row
+        # per vertex (c=0, carrying out_deg + prev rank), then ONE
+        # groupBy(dst) produces the complete next state — no merge join,
+        # no second exchange (.explain: one E+V-row shuffle with map-side
+        # partial aggregation; the edges⋈state join broadcasts the slim
+        # rank projection or reuses the cached src-partitioning)
+        ranks_slim = maybe_broadcast(
+            state.where(F.col("out_deg") > 0).select("id", (F.col("rank") / F.col("out_deg")).alias("c")),
+            use_bc,
         )
-        sums = contribs.groupBy("dst").agg(F.sum("c").alias("s"))
+        contribs = (
+            edges.join(ranks_slim, edges.src == F.col("id"))
+            .select(
+                F.col("dst"),
+                F.col("c"),
+                F.lit(None).cast("long").alias("out_deg"),
+                F.lit(None).cast("double").alias("prev"),
+            )
+        )
+        carriers = state.select(
+            F.col("id").alias("dst"),
+            F.lit(0.0).alias("c"),
+            F.col("out_deg"),
+            F.col("rank").alias("prev"),
+        )
         base = (1.0 - alpha) / n + alpha * dangling["mass"] / n
         return (
-            state.join(sums, state.id == sums.dst, "left")
+            contribs.unionByName(carriers)
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"), F.max("out_deg").alias("od"), F.max("prev").alias("p"))
             .select(
-                state.id.alias("id"),
-                (F.lit(base) + F.lit(alpha) * F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"),
-                state.out_deg.alias("out_deg"),
-                state.rank.alias("prev_rank"),
+                F.col("dst").alias("id"),
+                (F.lit(base) + F.lit(alpha) * F.col("s")).alias("rank"),
+                F.col("od").alias("out_deg"),
+                F.col("p").alias("prev_rank"),
             )
         )
 
-    def stats(new: DataFrame, prev: DataFrame, i: int) -> dict:
-        row = new.agg(
-            F.sum(F.abs(F.col("rank") - F.col("prev_rank"))).alias("delta"),
-            F.sum(F.when(F.col("out_deg") == 0, F.col("rank")).otherwise(F.lit(0.0))).alias("dm"),
-            F.count(F.when(F.abs(F.col("rank") - F.col("prev_rank")) > tol / n, True)).alias("active"),
-        ).collect()[0]
-        dangling["mass"] = row["dm"] or 0.0
-        return {"delta": float(row["delta"]), "active": int(row["active"]), "dangling_mass": dangling["mass"]}
+    def observe_cols() -> dict:
+        # convergence aggregates ride on the state-materializing job
+        return {
+            "delta": F.sum(F.abs(F.col("rank") - F.col("prev_rank"))),
+            "dm": F.sum(F.when(F.col("out_deg") == 0, F.col("rank")).otherwise(F.lit(0.0))),
+            "active": F.count(F.when(F.abs(F.col("rank") - F.col("prev_rank")) > tol / n, True)),
+        }
+
+    def stats(observed: dict, prev: DataFrame, i: int) -> dict:
+        dangling["mass"] = observed["dm"] or 0.0
+        return {
+            "delta": float(observed["delta"]),
+            "active": int(observed["active"]),
+            "dangling_mass": dangling["mass"],
+        }
 
     return iterate(
         state0,
@@ -113,6 +150,7 @@ def pagerank(
         checkpointer=checkpointer,
         start_superstep=start,
         initial_metrics=initial_metrics,
+        observe_cols=observe_cols,
     )
 
 

@@ -115,14 +115,23 @@ def iterate(
     truncate_every: int = 1,
     start_superstep: int = 1,
     initial_metrics: list[dict] | None = None,
+    observe_cols: Callable[[], dict] | None = None,
 ) -> LoopResult:
     """Run a level-synchronous superstep loop.
 
     ``step_fn(state, i)`` builds the next state (lazy); ``stats_fn(new,
-    prev, i)`` runs exactly one action and returns the convergence
-    record; ``converged_fn(stats)`` decides termination (the global
-    reduce, reference: src/traversals/BFS/bfs_BLAS.jl:62).
+    prev, i)`` returns the convergence record; ``converged_fn(stats)``
+    decides termination (the global reduce,
+    reference: src/traversals/BFS/bfs_BLAS.jl:62).
+
+    When ``observe_cols`` is given (a thunk returning {name: aggregate
+    Column}), the convergence aggregates ride along on the SAME job that
+    materializes the new state (``DataFrame.observe``) — zero extra
+    actions per superstep; ``stats_fn(observed_row_dict, prev, i)`` then
+    just post-processes the observed values.
     """
+    from pyspark.sql import Observation
+
     metrics = list(initial_metrics or [])
     prev = initial_state.persist(StorageLevel.MEMORY_AND_DISK)
     prev.count()
@@ -131,6 +140,11 @@ def iterate(
     for i in range(start_superstep, max_supersteps + 1):
         t0 = time.monotonic()
         new = step_fn(prev, i)
+        obs = None
+        if observe_cols is not None:
+            obs = Observation(f"superstep_{i}")
+            cols = observe_cols()
+            new = new.observe(obs, *[c.alias(name) for name, c in cols.items()])
         do_durable = checkpointer is not None and i % checkpointer.every == 0
         if do_durable:
             # parquet write + re-read: durable resume point AND flat lineage
@@ -143,7 +157,8 @@ def iterate(
             new = new.localCheckpoint(eager=True)
         else:
             new = new.persist(StorageLevel.MEMORY_AND_DISK)
-        stats = stats_fn(new, prev, i)
+            new.count()
+        stats = stats_fn(obs.get if obs is not None else new, prev, i)
         rec = {"superstep": i, "wall_s": time.monotonic() - t0, **stats}
         metrics.append(rec)
         if checkpointer is not None:

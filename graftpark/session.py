@@ -48,7 +48,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("GRAFTPARK_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", os.environ.get("GRAFTPARK_DRIVER_MEM", "64g"))
+        # iterative kernels: shuffled-hash beats sort-merge (no per-superstep
+        # sorts of the cached edge table); generous execution-memory fraction
+        # keeps high-cardinality partial aggregations from spilling
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.memory.fraction", "0.8")
         # Iterative loops re-plan small DataFrames constantly; keep the
         # broadcast threshold modest so frontier-sized tables broadcast.
         .config("spark.sql.autoBroadcastJoinThreshold", "32m")
