@@ -259,6 +259,10 @@ SELECT id, id AS parent FROM src0
 """,
 }
 
+from graftpark.driver_queries_pipeline import PIPELINE_ORACLE_SQL, PIPELINE_QUERIES  # noqa: E402
+
+ORACLE_SQL.update(PIPELINE_ORACLE_SQL)
+
 QUERIES = {
     "edges_derive": q_edges_derive,
     "degrees": q_degrees,
@@ -271,4 +275,5 @@ QUERIES = {
     "label_prop_nation": q_label_prop_nation,
     "bfs_levels_nation": q_bfs_levels_nation,
     "bfs_parents_nation": q_bfs_parents_nation,
+    **PIPELINE_QUERIES,
 }

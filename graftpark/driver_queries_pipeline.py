@@ -1,0 +1,213 @@
+"""Driver-contract queries for the training-data pipeline operators,
+with DuckDB oracles (documents / embeddings tables).
+
+Portability notes: md5 hex strings are the shared hash primitive;
+integer outputs are cast to BIGINT on both sides; float outputs are
+rounded to 6-8 dp and the top-k ordering happens on the ROUNDED value
+on both sides so near-tie ordering can't diverge.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from graftpark.pipeline.dedup import exact_dedup_groups, minhash_signatures, simhash
+from graftpark.pipeline.similarity import cosine_scores
+from graftpark.pipeline.textstats import (
+    STOPWORDS,
+    fingerprints,
+    language_id,
+    quality_scores,
+    token_counts,
+)
+
+_QUERY_VEC = [round(float(x), 4) for x in np.random.RandomState(123).standard_normal(64)]
+_QNORM = float(sum(x * x for x in _QUERY_VEC)) ** 0.5
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup_groups(_docs(spark, sf_dir))
+
+
+def q_token_count(spark, sf_dir):
+    t = token_counts(_docs(spark, sf_dir))
+    return t.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_unique_tokens").cast("long").alias("n_unique_tokens"),
+        F.col("n_chars_measured").cast("long").alias("n_chars_measured"),
+    )
+
+
+def q_quality(spark, sf_dir):
+    t = quality_scores(_docs(spark, sf_dir))
+    return t.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "mean_token_len",
+        "unique_ratio",
+        "quality",
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    t = language_id(_docs(spark, sf_dir))
+    return t.select("doc_id", "lang_pred", F.col("stop_hits").cast("long").alias("stop_hits"))
+
+
+def q_fingerprint(spark, sf_dir):
+    return fingerprints(_docs(spark, sf_dir))
+
+
+def q_minhash_sig(spark, sf_dir):
+    t = minhash_signatures(_docs(spark, sf_dir), num_hashes=8, shingle_k=3)
+    return t.select("doc_id", F.col("h").cast("long").alias("h"), "minhash")
+
+
+def q_simhash(spark, sf_dir):
+    return simhash(_docs(spark, sf_dir))
+
+
+def q_cosine_topk(spark, sf_dir):
+    scores = cosine_scores(_emb(spark, sf_dir), _QUERY_VEC)
+    return (
+        scores.select("vec_id", F.round("cosine", 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def q_embedding_norms(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    dot = F.aggregate(
+        F.zip_with("embedding", "embedding", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    return e.select("vec_id", F.round(F.sqrt(dot), 6).alias("norm"))
+
+
+# ------------------------------------------------------------- oracles
+
+_TOKS = "regexp_extract_all(text, '[^ ]+')"
+
+
+def _lang_values() -> str:
+    rows = []
+    for lang in sorted(STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        rows.append(f"('{lang}', [{words}])")
+    return ", ".join(rows)
+
+
+def _qvec_literal() -> str:
+    return "[" + ", ".join(repr(x) for x in _QUERY_VEC) + "]::DOUBLE[]"
+
+
+PIPELINE_ORACLE_SQL: dict[str, str] = {
+    "dedup_exact": """
+SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+FROM documents GROUP BY md5(text)
+""",
+    "token_count": f"""
+SELECT doc_id,
+       len({_TOKS}) AS n_tokens,
+       len(list_distinct({_TOKS})) AS n_unique_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_measured
+FROM documents
+""",
+    "quality": f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       ROUND(CASE WHEN len(toks) > 0 THEN length(replace(text, ' ', '')) / len(toks) ELSE 0.0 END, 8) AS mean_token_len,
+       ROUND(CASE WHEN len(toks) > 0 THEN len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 8) AS unique_ratio,
+       ROUND(LEAST(1.0, len(toks) / 50.0) * CASE WHEN len(toks) > 0 THEN len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 8) AS quality
+FROM t
+""",
+    "lang_id": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+langs(lang, words) AS (VALUES {_lang_values()}),
+h AS (
+  SELECT doc_id, lang, len(list_filter(toks, x -> list_contains(words, x))) AS hits
+  FROM t CROSS JOIN langs
+)
+SELECT doc_id,
+       CASE WHEN MAX(hits) > 0 THEN (list(lang ORDER BY hits DESC, lang ASC))[1] ELSE 'und' END AS lang_pred,
+       MAX(hits) AS stop_hits
+FROM h GROUP BY doc_id
+""",
+    "fingerprint": r"""
+WITH t AS (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS norm FROM documents),
+t2 AS (SELECT doc_id, norm, regexp_extract_all(norm, '[^ ]+') AS toks FROM t)
+SELECT doc_id,
+       COALESCE(
+         list_aggregate(
+           list_transform(generate_series(1, len(toks) - 4), i -> md5(array_to_string(toks[i:i+4], ' '))),
+           'min'),
+         md5(norm)) AS fingerprint
+FROM t2
+""",
+    "minhash_sig": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh0 AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 3
+                THEN list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' '))
+                ELSE []::VARCHAR[] END) AS shingle
+  FROM t),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+seeds AS (SELECT unnest(generate_series(0, 7)) AS h)
+SELECT doc_id, h, MIN(md5(CAST(h AS VARCHAR) || '|' || shingle)) AS minhash
+FROM sh CROSS JOIN seeds GROUP BY doc_id, h
+""",
+    "simhash": """
+WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '[^ ]+')) AS tok FROM documents),
+th AS (SELECT doc_id, md5(tok) AS hx FROM toks),
+bits AS (SELECT doc_id, hx, unnest(generate_series(0, 63)) AS b FROM th),
+votes AS (
+  SELECT doc_id, b,
+    CASE WHEN ((strpos('0123456789abcdef', substr(hx, CAST(b // 4 AS INT) + 1, 1)) - 1)
+               // (CASE CAST(b % 4 AS INT) WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2 = 1
+         THEN 1 ELSE -1 END AS v
+  FROM bits),
+s AS (SELECT doc_id, b, SUM(v) AS sv FROM votes GROUP BY doc_id, b),
+p2(arr) AS (SELECT list_transform(generate_series(0, 62), i -> CAST(2 ** i AS BIGINT)) || [CAST(-9223372036854775808 AS BIGINT)])
+SELECT doc_id,
+       CAST(SUM(CASE WHEN sv > 0 THEN (SELECT arr FROM p2)[CAST(b AS INT) + 1] ELSE 0 END) AS BIGINT) AS simhash
+FROM s GROUP BY doc_id
+""",
+    "cosine_topk": f"""
+WITH q AS (SELECT {_qvec_literal()} AS qv)
+SELECT vec_id,
+       ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * {_QNORM!r}), 6) AS cosine
+FROM embeddings, q
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+""",
+    "embedding_norms": """
+SELECT vec_id,
+       ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS norm
+FROM embeddings
+""",
+}
+
+PIPELINE_QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "token_count": q_token_count,
+    "quality": q_quality,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "minhash_sig": q_minhash_sig,
+    "simhash": q_simhash,
+    "cosine_topk": q_cosine_topk,
+    "embedding_norms": q_embedding_norms,
+}

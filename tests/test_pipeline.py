@@ -1,0 +1,160 @@
+import hashlib
+import math
+
+import pytest
+
+from graftpark.pipeline.dedup import (
+    exact_dedup,
+    exact_dedup_groups,
+    minhash_near_dups,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dups,
+    embedding_near_dups,
+)
+from graftpark.pipeline.similarity import ann_lsh_topk, cosine_topk
+from graftpark.pipeline.textstats import fingerprints, language_id, quality_scores, token_counts
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog and runs far away today", "en"),
+    (2, "the quick brown fox jumps over the lazy dog and runs far away today", "en"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat and runs far away today", "en"),  # near dup of 1
+    (4, "el perro corre y la casa es de madera que bonita y grande", "es"),
+    (5, "completely different words about spark dataframes shuffles and partitions", "en"),
+    (6, "zzz yyy xxx www vvv uuu", "und"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame([(i, t) for i, t, _ in DOCS], "doc_id LONG, text STRING")
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def _shingles(text, k=3):
+    toks = text.split()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def test_exact_dedup(spark, docs):
+    groups = {r["content_md5"]: (r["keep_id"], r["dup_count"]) for r in exact_dedup_groups(docs).collect()}
+    assert groups[_md5(DOCS[0][1])] == (1, 2)
+    kept = {r["doc_id"] for r in exact_dedup(docs).collect()}
+    assert kept == {1, 3, 4, 5, 6}
+
+
+def test_minhash_signatures_match_python(spark, docs):
+    sigs = {(r["doc_id"], r["h"]): r["minhash"] for r in minhash_signatures(docs, num_hashes=4).collect()}
+    for doc_id, text, _ in DOCS[:3]:
+        for h in range(4):
+            expect = min(_md5(f"{h}|{s}") for s in _shingles(text))
+            assert sigs[(doc_id, h)] == expect
+
+
+def test_minhash_near_dups_finds_planted_pair(spark, docs):
+    pairs = {(r["a"], r["b"]): r["est_jaccard"] for r in
+             minhash_near_dups(docs, num_hashes=16, bands=8, threshold=0.0).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # exact dup: all minhashes agree
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.3  # near dup shares most shingles
+    assert (1, 5) not in pairs and (1, 4) not in pairs
+
+
+def test_ngram_jaccard_exact(spark, docs):
+    pairs = spark.createDataFrame([(1, 2), (1, 3), (1, 5)], "a LONG, b LONG")
+    got = {(r["a"], r["b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, pairs).collect()}
+    for a, b in [(1, 2), (1, 3), (1, 5)]:
+        sa, sb = _shingles(DOCS[a - 1][1]), _shingles(DOCS[b - 1][1])
+        expect = len(sa & sb) / len(sa | sb)
+        assert got[(a, b)] == pytest.approx(expect)
+
+
+def _py_simhash(text):
+    votes = [0] * 64
+    for tok in text.split():
+        h = _md5(tok)
+        for b in range(64):
+            v = int(h[b // 4], 16)
+            bit = (v >> (3 - b % 4)) & 1
+            votes[b] += 1 if bit else -1
+    out = 0
+    for b in range(64):
+        if votes[b] > 0:
+            out |= 1 << b
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def test_simhash_matches_python(spark, docs):
+    got = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    for doc_id, text, _ in DOCS:
+        assert got[doc_id] == _py_simhash(text), doc_id
+
+
+def test_simhash_near_dups(spark, docs):
+    got = {(r["a"], r["b"]): r["hamming"] for r in simhash_near_dups(docs, max_hamming=16).collect()}
+    assert got.get((1, 2)) == 0  # identical text
+    assert (1, 3) in got and got[(1, 3)] <= 16  # near dup: small hamming
+
+
+def test_token_and_quality_stats(spark, docs):
+    tc = {r["doc_id"]: (r["n_tokens"], r["n_unique_tokens"]) for r in token_counts(docs).collect()}
+    for doc_id, text, _ in DOCS:
+        assert tc[doc_id] == (len(text.split()), len(set(text.split())))
+    qs = {r["doc_id"]: r for r in quality_scores(docs).collect()}
+    t = DOCS[0][1].split()
+    assert qs[1]["unique_ratio"] == pytest.approx(len(set(t)) / len(t), abs=1e-8)
+
+
+def test_language_id(spark, docs):
+    got = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
+    assert got[1] == "en" and got[4] == "es" and got[6] == "und"
+
+
+def test_fingerprints_stable_and_dedup_equivalent(spark, docs):
+    fp = {r["doc_id"]: r["fingerprint"] for r in fingerprints(docs).collect()}
+    assert fp[1] == fp[2]  # identical content → identical fingerprint
+    assert fp[1] != fp[5]
+    toks = DOCS[0][1].lower().split()
+    expect = min(_md5(" ".join(toks[i : i + 5])) for i in range(len(toks) - 4))
+    assert fp[1] == expect
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((40, 8)).astype("float32")
+    vecs[1] = vecs[0] * 1.5  # planted: same direction as vec 0
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(40)]
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>"), vecs
+
+
+def test_cosine_topk_exact(spark, embeddings):
+    df, vecs = embeddings
+    import numpy as np
+
+    q = [float(x) for x in vecs[0]]
+    got = [(r["vec_id"], r["cosine"]) for r in cosine_topk(df, q, k=5).collect()]
+    sims = vecs.astype("float64") @ np.asarray(q)
+    sims = sims / (np.linalg.norm(vecs.astype("float64"), axis=1) * np.linalg.norm(q))
+    expect = sorted(range(40), key=lambda i: (-sims[i], i))[:5]
+    assert [g[0] for g in got] == expect
+    assert got[0][0] == 0 and got[0][1] == pytest.approx(1.0)
+    assert got[1][0] == 1 and got[1][1] == pytest.approx(1.0)  # planted parallel vec
+
+
+def test_ann_lsh_topk_finds_parallel_vector(spark, embeddings):
+    df, vecs = embeddings
+    q = [float(x) for x in vecs[0]]
+    got = [r["vec_id"] for r in ann_lsh_topk(df, q, k=3, n_planes=6, probe_hamming=1).collect()]
+    assert got[0] == 0 and 1 in got  # query's own bucket must contain both
+
+
+def test_embedding_near_dups(spark, embeddings):
+    df, vecs = embeddings
+    pairs = {(r["a"], r["b"]): r["cosine"] for r in embedding_near_dups(df, threshold=0.95).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == pytest.approx(1.0)
