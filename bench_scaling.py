@@ -1,12 +1,25 @@
 #!/usr/bin/env python
 """Scaling-efficiency evidence for the north rule.
 
-The target criterion is ≥0.8 throughput scaling efficiency between N
+The target criterion is >=0.8 throughput scaling efficiency between N
 and 4N executors. No real cluster exists in this sandbox, so (per the
 driver instruction) we run the SAME PageRank job on the SAME seeded
-input at two parallelism levels — local[N] and local[4N], fresh JVM
-each — and report throughput (edges/sec per superstep to convergence,
-tol 1e-6) at both plus efficiency = throughput_4N / (4 · throughput_N).
+input at two parallelism levels and report throughput (edges/sec per
+superstep to convergence, tol 1e-6) at both, plus
+efficiency = throughput_4N / (4 * throughput_N).
+
+Methodology (each level = one fresh JVM, honest resource accounting):
+
+- **Core pinning**: ``taskset -c 0..N-1`` pins the WHOLE process tree
+  (JVM + Python UDF workers) of level N to exactly N cores. Without
+  pinning, "local[8]" on a 32-core box silently uses up to 16 cores
+  (task threads + Arrow UDF workers), understating real scalability.
+- **Identical work**: both levels use the same input parquet, the same
+  bucket count (4N), the same shuffle partitioning — so per-superstep
+  work and shuffle volume are identical; only the core budget changes.
+- **Warm-up**: a short PageRank run first (same block dir) builds the
+  CSR blocks, primes JIT/codegen and the worker pool; excluded from
+  measurement. Per-superstep walls come from the kernel's own metrics.
 
 Writes BENCH/BASELINE.md and prints one JSON line.
 """
@@ -22,46 +35,77 @@ import time
 CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, os.environ["GRAFTPARK_REPO"])
-from graftpark.fixtures import powerlaw_edges_pdf
 from graftpark.graph import Graph
 from graftpark.session import get_spark
 from graftpark.kernels.pagerank import pagerank
 
 cpus = int(os.environ["SPARK_GRAFT_CPUS"])
-n_edges = int(os.environ["GRAFTPARK_SCALING_EDGES"])
-n_vertices = int(os.environ["GRAFTPARK_SCALING_VERTICES"])
-spark = get_spark(master=f"local[{cpus}]", app_name=f"graftpark-scaling-{cpus}", shuffle_partitions=cpus)
-pdf = powerlaw_edges_pdf(n_edges, n_vertices, seed=42)
-g = Graph(spark.createDataFrame(pdf))
-# warm-up run (persists edges, JIT/codegen) excluded from the measurement
-pagerank(g, tol=0.0, max_supersteps=1)
+buckets = int(os.environ["GRAFTPARK_SCALING_BUCKETS"])
+data = os.environ["GRAFTPARK_SCALING_DATA"]
+block_dir = os.environ["GRAFTPARK_SCALING_BLOCKS"]
+spark = get_spark(
+    master=f"local[{cpus}]",
+    app_name=f"graftpark-scaling-{cpus}",
+    shuffle_partitions=buckets,
+    extra={
+        "spark.ui.showConsoleProgress": "false",
+        "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+    },
+)
+g = Graph(spark.read.parquet(data), assume_normalized=True)
+# warm-up (builds CSR blocks on first level, primes JIT + worker pool)
+pagerank(g, tol=0.0, max_supersteps=2, strategy="csr", block_dir=block_dir,
+         num_partitions=buckets)
 e_dir = g.edges.count()
 t0 = time.monotonic()
-res = pagerank(g, tol=1e-6, max_supersteps=60)
+res = pagerank(g, tol=1e-6, max_supersteps=60, strategy="csr",
+               block_dir=block_dir, num_partitions=buckets)
 wall = time.monotonic() - t0
-walls = [mm["wall_s"] for mm in res.metrics]
+walls = [m["wall_s"] for m in res.metrics]
 mean_step = sum(walls) / len(walls)
 print("SCALING_RESULT " + json.dumps({
     "cpus": cpus, "edges": e_dir, "supersteps": res.supersteps,
     "converged": res.converged, "wall_s": round(wall, 3),
     "mean_superstep_s": round(mean_step, 4),
+    "min_superstep_s": round(min(walls), 4),
     "edges_per_sec_per_superstep": round(e_dir / mean_step),
 }))
 spark.stop()
 """
 
 
-def run_level(cpus: int, n_edges: int, n_vertices: int) -> dict:
+def prepare_input(n_edges: int, n_vertices: int, seed: int, path: str) -> None:
+    """Seeded power-law edge table → parquet, built once, shared by levels."""
+    if os.path.exists(os.path.join(path, "_OK")):
+        return
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from graftpark.fixtures import powerlaw_edges_pdf
+
+    pdf = powerlaw_edges_pdf(n_edges, n_vertices, seed=seed)
+    os.makedirs(path, exist_ok=True)
+    # several row groups so the parquet scan parallelizes
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   os.path.join(path, "edges.parquet"), row_group_size=2_000_000)
+    open(os.path.join(path, "_OK"), "w").close()
+
+
+def run_level(cpus: int, buckets: int, data: str, blocks: str, pin: bool) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
-        GRAFTPARK_SCALING_EDGES=str(n_edges),
-        GRAFTPARK_SCALING_VERTICES=str(n_vertices),
+        GRAFTPARK_SCALING_BUCKETS=str(buckets),
+        GRAFTPARK_SCALING_DATA=data,
+        GRAFTPARK_SCALING_BLOCKS=blocks,
         GRAFTPARK_REPO=os.path.dirname(os.path.abspath(__file__)),
+        GRAFTPARK_DRIVER_MEM=os.environ.get("GRAFTPARK_DRIVER_MEM", "32g"),
     )
-    out = subprocess.run(
-        [sys.executable, "-c", CHILD], env=env, capture_output=True, text=True, timeout=1200
-    )
+    cmd = [sys.executable, "-c", CHILD]
+    if pin:
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=2400)
     for line in out.stdout.splitlines():
         if line.startswith("SCALING_RESULT "):
             return json.loads(line[len("SCALING_RESULT "):])
@@ -73,10 +117,20 @@ def main() -> None:
     n_high = 4 * n_low
     n_edges = int(os.environ.get("GRAFTPARK_SCALING_EDGES", "64000000"))
     n_vertices = int(os.environ.get("GRAFTPARK_SCALING_VERTICES", "8000000"))
+    buckets = int(os.environ.get("GRAFTPARK_SCALING_BUCKETS", str(n_high)))
+    pin = os.environ.get("GRAFTPARK_SCALING_PIN", "1") != "0"
+
+    workdir = os.environ.get(
+        "GRAFTPARK_SCALING_WORKDIR",
+        f"/tmp/graftpark-scaling-{n_edges}-{n_vertices}-{buckets}",
+    )
+    data = os.path.join(workdir, "input")
+    blocks = os.path.join(workdir, "blocks")
+    prepare_input(n_edges, n_vertices, 42, data)
 
     t0 = time.monotonic()
-    low = run_level(n_low, n_edges, n_vertices)
-    high = run_level(n_high, n_edges, n_vertices)
+    low = run_level(n_low, buckets, data, blocks, pin)
+    high = run_level(n_high, buckets, data, blocks, pin)
     eff = high["edges_per_sec_per_superstep"] / (4.0 * low["edges_per_sec_per_superstep"])
     result = {
         "metric": "scaling_efficiency",
@@ -85,6 +139,7 @@ def main() -> None:
         "low": low,
         "high": high,
         "criterion": ">=0.8 between N and 4N parallelism",
+        "pinned_cores": pin,
         "wall_s": round(time.monotonic() - t0, 1),
     }
     os.makedirs("BENCH", exist_ok=True)
@@ -95,15 +150,23 @@ def main() -> None:
 Job: PageRank power iteration (damping 0.85, tol 1e-6) to convergence
 on the seeded power-law edge table ({low['edges']:,} directed edges,
 {n_vertices:,} vertex id space, out/in-degree exponents 0.7/0.5),
-identical input at two parallelism levels, fresh JVM each, warm-up
-run excluded. Kernel plan: edges cached co-partitioned by src,
-single-shuffle superstep (contribs ∪ carriers → groupBy(dst)),
-convergence aggregates via DataFrame.observe (no extra job).
+identical input at two parallelism levels, fresh JVM each, warm-up run
+excluded. Each level's ENTIRE process tree (JVM + Arrow UDF workers)
+is pinned to exactly N cores with `taskset -c 0..N-1`, so the ratio is
+a true N-core vs 4N-core comparison. Both levels run identical work:
+same input parquet, same {buckets} CSR src-buckets, same shuffle
+partitioning (only the core budget differs — the sandbox stand-in for
+N vs 4N executors).
+
+Kernel plan (north_star strategy): per-bucket CSR adjacency blocks
+built once as mmap-shared .npy, gather-scatter inside Arrow UDFs
+(np.add.reduceat), one compact-partial keyed shuffle per superstep,
+vectorized bincount reduce, convergence via DataFrame.observe.
 
 | parallelism | supersteps | mean superstep (s) | edges/sec/superstep |
 |---|---|---|---|
-| local[{n_low}] | {low['supersteps']} | {low['mean_superstep_s']} | {low['edges_per_sec_per_superstep']:,} |
-| local[{n_high}] | {high['supersteps']} | {high['mean_superstep_s']} | {high['edges_per_sec_per_superstep']:,} |
+| local[{n_low}] (pinned {n_low} cores) | {low['supersteps']} | {low['mean_superstep_s']} | {low['edges_per_sec_per_superstep']:,} |
+| local[{n_high}] (pinned {n_high} cores) | {high['supersteps']} | {high['mean_superstep_s']} | {high['edges_per_sec_per_superstep']:,} |
 
 **Scaling efficiency (throughput_4N / (4 x throughput_N)) = {eff:.3f}**
 (criterion: >=0.8; sandbox evidence for the N vs 4N executor rule per

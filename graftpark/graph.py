@@ -105,9 +105,13 @@ def densify_ids(df: DataFrame, col: str, num_partitions: int | None = None) -> D
 class Graph:
     """A directed graph held as DataFrames, persisted for iteration."""
 
-    def __init__(self, edges: DataFrame, vertices: DataFrame | None = None):
+    def __init__(
+        self, edges: DataFrame, vertices: DataFrame | None = None, assume_normalized: bool = False
+    ):
         self.spark: SparkSession = edges.sparkSession
-        self.edges = normalize_edges(edges)
+        # assume_normalized: caller guarantees long-typed, deduplicated,
+        # self-loop-free edges — skips the E-row distinct() shuffle
+        self.edges = edges if assume_normalized else normalize_edges(edges)
         if vertices is not None:
             self._vertices = vertices.select(F.col("id").cast("long").alias("id")).distinct()
         else:

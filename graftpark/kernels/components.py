@@ -28,11 +28,20 @@ def connected_components(
     resume: bool = False,
     num_partitions: int | None = None,
     broadcast_state: bool | None = None,
+    strategy: str = "auto",
+    block_dir: str | None = None,
 ) -> LoopResult:
     """State: ``(id, comp, prev_comp)``; result = select(id, comp)."""
     spark = graph.spark
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    use_bc = choose_strategy(graph.num_vertices(), broadcast_state)
+    n = graph.num_vertices()
+    if strategy == "auto":
+        strategy = "csr" if not choose_strategy(n, broadcast_state) else "dataframe"
+    if strategy == "csr":
+        return _cc_csr(
+            graph, max_supersteps, checkpoint_dir, checkpoint_every, resume, n_part, block_dir
+        )
+    use_bc = choose_strategy(n, broadcast_state)
     graph.persist_for_iteration(n_part, key=None if use_bc else "src")
     sym = graph.edges_sym()
 
@@ -93,6 +102,118 @@ def connected_components(
         initial_metrics=initial_metrics,
         observe_cols=observe_cols,
     )
+
+
+def _cc_csr(
+    graph: Graph,
+    max_supersteps: int,
+    checkpoint_dir: str | None,
+    checkpoint_every: int,
+    resume: bool,
+    n_part: int,
+    block_dir: str | None,
+) -> LoopResult:
+    """CSR-block min-label propagation (north_star strategy; SURVEY.md §2.8).
+
+    Same execution shape as PageRank's CSR path but over the symmetrized
+    edge blocks with the (min, min) semiring: gather = neighbor labels,
+    per-destination ``np.minimum.reduceat``, keyed shuffle of compact
+    minima, vectorized merge ``comp' = min(comp, incoming)``.
+    """
+    import tempfile
+
+    from graftpark.blocks import bucket_col, combine_min, gather_scatter_fn, write_edge_blocks
+    from graftpark.kernels.pagerank import _superstep_confs
+
+    spark = graph.spark
+    if block_dir is None:
+        block_dir = tempfile.mkdtemp(prefix="graftpark-blocks-sym-")
+    import os
+
+    if not os.path.isdir(os.path.join(block_dir, "src_bucket=0")):
+        write_edge_blocks(graph.edges_sym(), n_part, block_dir)
+
+    init = (
+        graph.vertices()
+        .select(
+            "id",
+            F.col("id").alias("comp"),
+            F.lit(None).cast("long").alias("prev_comp"),
+            bucket_col("id", n_part).cast("int").alias("bucket"),
+        )
+        .repartition(n_part, "bucket")
+    )
+    checkpointer = Checkpointer(checkpoint_dir, every=checkpoint_every) if checkpoint_dir else None
+    start, initial_metrics, state0 = 1, None, init
+    if resume and checkpointer is not None:
+        rp = resume_point(checkpointer, spark)
+        if rp is not None:
+            state0, last, initial_metrics = rp
+            start = last + 1
+
+    state_schema = "id long, comp long, prev_comp long, bucket int"
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        # union (not cogroup): binary nodes MULTIPLY Catalyst size stats,
+        # which squares per superstep under localCheckpoint (see pagerank)
+        def finish(key, pdf):
+            import pandas as pd
+
+            own_mask = pdf["own"].to_numpy()
+            st = pdf[own_mask]
+            partials = pdf[~own_mask]
+            if len(st) == 0:
+                return pd.DataFrame({c: [] for c in ("id", "comp", "prev_comp", "bucket")})
+            own = st["v"].to_numpy()
+            merged = combine_min(partials, st.rename(columns={"dst": "id"}), own)
+            return pd.DataFrame(
+                {
+                    "id": st["dst"].to_numpy(),
+                    "comp": merged,
+                    "prev_comp": own,
+                    "bucket": st["bucket"].to_numpy(),
+                }
+            )
+
+        partials = state.groupBy("bucket").applyInPandas(
+            gather_scatter_fn(block_dir, lambda pdf: pdf["comp"].to_numpy(), "min"),
+            schema="dst long, v long, bucket int",
+        ).select("dst", "v", F.lit(False).alias("own"), "bucket")
+        carriers = state.select(
+            F.col("id").alias("dst"), F.col("comp").alias("v"), F.lit(True).alias("own"), "bucket"
+        )
+        return (
+            partials.unionByName(carriers)
+            .groupBy("bucket")
+            .applyInPandas(finish, schema=state_schema)
+        )
+
+    def observe_cols() -> dict:
+        return {
+            "changed": F.count(F.when(F.col("comp") != F.col("prev_comp"), True)),
+            "num_components_approx": F.approx_count_distinct("comp"),
+        }
+
+    def stats(observed: dict, prev: DataFrame, i: int) -> dict:
+        changed = int(observed["changed"])
+        return {
+            "delta": float(changed),
+            "active": changed,
+            "num_components_approx": int(observed["num_components_approx"]),
+        }
+
+    with _superstep_confs(spark):
+        return iterate(
+            state0,
+            step,
+            stats,
+            converged_fn=lambda rec: rec["active"] == 0,
+            max_supersteps=max_supersteps,
+            checkpointer=checkpointer,
+            start_superstep=start,
+            initial_metrics=initial_metrics,
+            observe_cols=observe_cols,
+        )
 
 
 def components_df(result: LoopResult) -> DataFrame:

@@ -35,6 +35,8 @@ def pagerank(
     resume: bool = False,
     num_partitions: int | None = None,
     broadcast_state: bool | None = None,
+    strategy: str = "auto",
+    block_dir: str | None = None,
 ) -> LoopResult:
     """Ranks sum to 1 over the full vertex set (isolated vertices included).
 
@@ -52,6 +54,13 @@ def pagerank(
     n = graph.num_vertices()
     if n == 0:
         return LoopResult(state=spark.createDataFrame([], "id LONG, rank DOUBLE"), converged=True)
+    if strategy == "auto":
+        strategy = "csr" if not choose_strategy(n, broadcast_state) else "dataframe"
+    if strategy == "csr":
+        return _pagerank_csr(
+            graph, n, alpha, tol, max_supersteps, checkpoint_dir, checkpoint_every,
+            resume, n_part, block_dir,
+        )
     use_bc = choose_strategy(n, broadcast_state)
     graph.persist_for_iteration(n_part, key=None if use_bc else "src", sym=False)
     edges = graph.edges
@@ -152,6 +161,199 @@ def pagerank(
         initial_metrics=initial_metrics,
         observe_cols=observe_cols,
     )
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _superstep_confs(spark):
+    """Session confs for fixed-shape superstep queries, restored on exit.
+
+    AQE re-planning buys nothing for a loop whose partitioning we control
+    (it coalesced the bucket-keyed shuffle below the core count, and adds
+    a driver sync per stage); small Arrow batches add per-batch overhead
+    on the state/partial streams.
+    """
+    saved = {}
+    wanted = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "262144",
+    }
+    for k, v in wanted.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def _pagerank_csr(
+    graph: Graph,
+    n: int,
+    alpha: float,
+    tol: float,
+    max_supersteps: int,
+    checkpoint_dir: str | None,
+    checkpoint_every: int,
+    resume: bool,
+    n_part: int,
+    block_dir: str | None,
+) -> LoopResult:
+    """CSR-block strategy (BASELINE.json north_star, SURVEY.md §4.3.3).
+
+    Edges are bucketed by ``pmod(hash(src), P)`` and written ONCE as
+    per-bucket parquet (cluster: shared storage); every superstep is
+
+        state ─groupBy(bucket)→ gather-scatter Arrow UDF over the
+        worker-cached CSR block (np.add.reduceat — no hash table)
+        → compact (dst, partial, dst_bucket) rows
+        ─the ONE keyed shuffle→ cogroup with state by bucket
+        → vectorized combine (np.bincount) → next state
+
+    The edge table never re-shuffles and never re-enters the JVM; the
+    per-superstep JVM work is one compact-partial shuffle plus the
+    V-row observe aggregates.
+    """
+    import tempfile
+
+    from graftpark import blocks as B
+    from graftpark.blocks import bucket_col, combine_sums, gather_scatter_fn, write_edge_blocks
+
+    spark = graph.spark
+    if block_dir is None:
+        block_dir = tempfile.mkdtemp(prefix="graftpark-blocks-")
+    import os
+
+    if not os.path.exists(os.path.join(block_dir, "_SUCCESS")):
+        write_edge_blocks(graph.edges, n_part, block_dir)
+
+    out_deg = graph.edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_deg"))
+    init = (
+        graph.vertices()
+        .join(out_deg, "id", "left")
+        .select(
+            "id",
+            F.lit(1.0 / n).alias("rank"),
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.lit(0.0).alias("prev_rank"),
+            bucket_col("id", n_part).cast("int").alias("bucket"),
+        )
+        .repartition(n_part, "bucket")
+    )
+
+    checkpointer = Checkpointer(checkpoint_dir, every=checkpoint_every) if checkpoint_dir else None
+    start, initial_metrics, state0 = 1, None, init
+    dangling = {"mass": 0.0}
+    if resume and checkpointer is not None:
+        rp = resume_point(checkpointer, spark)
+        if rp is not None:
+            state0, last, initial_metrics = rp
+            start = last + 1
+            dangling["mass"] = initial_metrics[-1]["dangling_mass"] if initial_metrics else 0.0
+    if start == 1:
+        dangling["mass"] = (
+            init.where(F.col("out_deg") == 0).agg(F.sum("rank")).collect()[0][0] or 0.0
+        )
+
+    def contrib_values(pdf_sorted):
+        import numpy as np
+
+        r = pdf_sorted["rank"].to_numpy()
+        d = pdf_sorted["out_deg"].to_numpy()
+        return np.where(d > 0, r / np.maximum(d, 1), 0.0)
+
+    state_schema = "id long, rank double, out_deg long, prev_rank double, bucket int"
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        # NOTE: partials and carriers are UNIONed (not cogrouped) before the
+        # keyed reduce. A binary node over two state-derived inputs would
+        # MULTIPLY their Catalyst size statistics; with localCheckpoint
+        # carrying stats forward that squares sizeInBytes every superstep
+        # (BigInteger digits double per step — the driver eventually spends
+        # minutes in BigInteger.multiply). Union ADDS stats: linear growth.
+        base = (1.0 - alpha) / n + alpha * dangling["mass"] / n
+
+        def finish(key, pdf):
+            import time
+
+            import pandas as pd
+
+            from graftpark.blocks import _trace
+
+            t0 = time.perf_counter()
+            is_carrier = pdf["out_deg"].notna().to_numpy()
+            st = pdf[is_carrier]
+            partials = pdf[~is_carrier]
+            if len(st) == 0:
+                return pd.DataFrame(
+                    {c: [] for c in ("id", "rank", "out_deg", "prev_rank", "bucket")}
+                )
+            sums = combine_sums(partials, st.rename(columns={"dst": "id"}))
+            out = pd.DataFrame(
+                {
+                    "id": st["dst"].to_numpy(),
+                    "rank": base + alpha * sums,
+                    "out_deg": st["out_deg"].to_numpy(),
+                    "prev_rank": st["v"].to_numpy(),
+                    "bucket": st["bucket"].to_numpy(),
+                }
+            )
+            _trace("finish", t0, rows_in=len(pdf), rows_out=len(out))
+            return out
+
+        partials = state.groupBy("bucket").applyInPandas(
+            gather_scatter_fn(block_dir, contrib_values, "sum"),
+            schema="dst long, v double, bucket int",
+        ).select("dst", "v", F.lit(None).cast("long").alias("out_deg"), "bucket")
+        carriers = state.select(
+            F.col("id").alias("dst"),
+            F.col("rank").alias("v"),
+            "out_deg",
+            "bucket",
+        )
+        return (
+            partials.unionByName(carriers)
+            .groupBy("bucket")
+            .applyInPandas(finish, schema=state_schema)
+        )
+
+    def observe_cols() -> dict:
+        return {
+            "delta": F.sum(F.abs(F.col("rank") - F.col("prev_rank"))),
+            "dm": F.sum(F.when(F.col("out_deg") == 0, F.col("rank")).otherwise(F.lit(0.0))),
+            "active": F.count(F.when(F.abs(F.col("rank") - F.col("prev_rank")) > tol / n, True)),
+        }
+
+    def stats(observed: dict, prev: DataFrame, i: int) -> dict:
+        dangling["mass"] = observed["dm"] or 0.0
+        return {
+            "delta": float(observed["delta"]),
+            "active": int(observed["active"]),
+            "dangling_mass": dangling["mass"],
+        }
+
+    _ = B  # module kept imported for worker-side cache symbols
+    with _superstep_confs(spark):
+        return iterate(
+            state0,
+            step,
+            stats,
+            converged_fn=lambda rec: rec["delta"] < tol,
+            max_supersteps=max_supersteps,
+            checkpointer=checkpointer,
+            start_superstep=start,
+            initial_metrics=initial_metrics,
+            observe_cols=observe_cols,
+        )
 
 
 def ranks_df(result: LoopResult) -> DataFrame:

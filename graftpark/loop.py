@@ -135,6 +135,7 @@ def iterate(
     metrics = list(initial_metrics or [])
     prev = initial_state.persist(StorageLevel.MEMORY_AND_DISK)
     prev.count()
+    prev_ckpt_rdd = None
     converged = False
     i = start_superstep - 1
     for i in range(start_superstep, max_supersteps + 1):
@@ -145,6 +146,7 @@ def iterate(
             obs = Observation(f"superstep_{i}")
             cols = observe_cols()
             new = new.observe(obs, *[c.alias(name) for name, c in cols.items()])
+        new_ckpt_rdd = None
         do_durable = checkpointer is not None and i % checkpointer.every == 0
         if do_durable:
             # parquet write + re-read: durable resume point AND flat lineage
@@ -155,6 +157,7 @@ def iterate(
             # plan — without this, Catalyst re-analysis of the growing join
             # tree dominates after a handful of supersteps (SURVEY.md §4.3.1)
             new = new.localCheckpoint(eager=True)
+            new_ckpt_rdd = _checkpoint_rdd(new)
         else:
             new = new.persist(StorageLevel.MEMORY_AND_DISK)
             new.count()
@@ -163,12 +166,29 @@ def iterate(
         metrics.append(rec)
         if checkpointer is not None:
             checkpointer.record_metrics(rec)
+        # free the retired state NOW: DataFrame.unpersist does not release
+        # localCheckpoint RDD blocks (they otherwise linger until the JVM
+        # happens to GC the RDD reference → storage bloat + GC churn)
         prev.unpersist()
-        prev = new
+        if prev_ckpt_rdd is not None:
+            try:
+                prev_ckpt_rdd.unpersist(False)
+            except Exception:
+                pass
+        prev, prev_ckpt_rdd = new, new_ckpt_rdd
         if converged_fn(rec):
             converged = True
             break
     return LoopResult(state=prev, metrics=metrics, supersteps=i, converged=converged)
+
+
+def _checkpoint_rdd(df: DataFrame):
+    """The JVM RDD backing a localCheckpoint'ed DataFrame (for unpersist)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        return plan.rdd()  # LogicalRDD
+    except Exception:
+        return None
 
 
 def resume_point(

@@ -1,0 +1,80 @@
+"""CSR-block strategy (north_star execution path) matches the
+pure-DataFrame reference formulation exactly.
+
+The DataFrame kernels are the semantic spec (SURVEY.md §2.7-2.8); the
+CSR path (graftpark/blocks.py) must agree to float tolerance (sum
+order differs) / exactly (min semiring).
+"""
+
+import pandas as pd
+import pytest
+
+from graftpark.fixtures import G6_TWO_COMP, G30_HUB, powerlaw_edges_pdf
+from graftpark.graph import Graph
+from graftpark.kernels.components import connected_components
+from graftpark.kernels.pagerank import pagerank
+
+
+def _ranks(res):
+    return {r["id"]: r["rank"] for r in res.state.select("id", "rank").collect()}
+
+
+def _comps(res):
+    return {r["id"]: r["comp"] for r in res.state.select("id", "comp").collect()}
+
+
+@pytest.fixture(scope="module")
+def powerlaw_graph(spark):
+    pdf = powerlaw_edges_pdf(20000, 3000, seed=7)
+    return Graph(spark.createDataFrame(pdf))
+
+
+def test_pagerank_csr_matches_dataframe_fixture(spark, tmp_path):
+    n, directed, edges = G30_HUB
+    g = Graph.from_edge_list(spark, edges, n=n, directed=directed)
+    a = _ranks(pagerank(g, strategy="dataframe", max_supersteps=30, tol=1e-4))
+    b = _ranks(pagerank(g, strategy="csr", max_supersteps=30, tol=1e-4,
+                        block_dir=str(tmp_path / "blk")))
+    assert set(a) == set(b)
+    assert max(abs(a[k] - b[k]) for k in a) < 1e-9
+
+
+def test_pagerank_csr_matches_dataframe_powerlaw(spark, powerlaw_graph, tmp_path):
+    a = _ranks(pagerank(powerlaw_graph, strategy="dataframe", max_supersteps=25))
+    b = _ranks(pagerank(powerlaw_graph, strategy="csr", max_supersteps=25,
+                        block_dir=str(tmp_path / "blk")))
+    assert set(a) == set(b)
+    assert max(abs(a[k] - b[k]) for k in a) < 1e-9
+    assert abs(sum(b.values()) - 1.0) < 1e-9
+
+
+def test_cc_csr_matches_dataframe(spark, tmp_path):
+    n, directed, edges = G6_TWO_COMP
+    g = Graph.from_edge_list(spark, edges, n=n, directed=directed)
+    a = _comps(connected_components(g, strategy="dataframe"))
+    b = _comps(connected_components(g, strategy="csr", block_dir=str(tmp_path / "blk")))
+    assert a == b == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
+
+
+def test_cc_csr_matches_dataframe_powerlaw(spark, powerlaw_graph, tmp_path):
+    a = _comps(connected_components(powerlaw_graph, strategy="dataframe"))
+    b = _comps(connected_components(powerlaw_graph, strategy="csr",
+                                    block_dir=str(tmp_path / "blk")))
+    assert a == b
+
+
+def test_pagerank_csr_checkpoint_resume(spark, tmp_path):
+    n, directed, edges = G30_HUB
+    g = Graph.from_edge_list(spark, edges, n=n, directed=directed)
+    run_dir = str(tmp_path / "run")
+    blk = str(tmp_path / "blk")
+    full = pagerank(g, strategy="csr", max_supersteps=12, tol=0.0, block_dir=blk)
+    # partial run to superstep 6 (checkpoint_every=3 → durable at 3 and 6)
+    pagerank(g, strategy="csr", max_supersteps=6, tol=0.0, block_dir=blk,
+             checkpoint_dir=run_dir, checkpoint_every=3)
+    resumed = pagerank(g, strategy="csr", max_supersteps=12, tol=0.0, block_dir=blk,
+                       checkpoint_dir=run_dir, checkpoint_every=3, resume=True)
+    assert resumed.metrics[0]["superstep"] == 1  # metrics replayed from file
+    assert resumed.supersteps == 12
+    a, b = _ranks(full), _ranks(resumed)
+    assert max(abs(a[k] - b[k]) for k in a) < 1e-12
