@@ -223,6 +223,81 @@ def gather_scatter_fn(block_dir: str, value_expr, reduce_op: str):
     return fn
 
 
+def _group_idx(block_dir: str, bucket: int, blk: dict) -> np.ndarray:
+    """Per-edge destination-group index (cached per worker)."""
+    key = ("gi", block_dir, bucket)
+    gi = _BLOCK_CACHE.get(key)
+    if gi is None:
+        counts = np.diff(np.append(blk["starts"], blk["n_edges"]))
+        gi = np.repeat(np.arange(len(blk["starts"]), dtype=np.int64), counts)
+        _BLOCK_CACHE[key] = gi
+    return gi
+
+
+def mode_gather_fn(block_dir: str, label_col: str):
+    """applyInPandas fn: state group → per-(dst, label) neighbor counts.
+
+    The mode semiring needs counts per (destination, label) — labels
+    change every superstep so the per-edge (group, label) pairs are
+    lexsorted each call (the only superstep-time sort in the engine)
+    and counted with reduceat boundaries.
+    """
+
+    def fn(key, pdf):
+        bucket = int(key[0])
+        blk = load_block(block_dir, bucket)
+        if blk is None or blk["n_edges"] == 0 or len(pdf) == 0:
+            return pd.DataFrame({"dst": np.empty(0, np.int64),
+                                 "label": np.empty(0, np.int64),
+                                 "cnt": np.empty(0, np.int64),
+                                 "bucket": np.empty(0, np.int32)})
+        ids_sorted, order, fp = _state_layout(pdf)
+        labels = pdf[label_col].to_numpy()[order]
+        pos = _src_positions(block_dir, bucket, blk, ids_sorted, fp)
+        lab = labels[pos]
+        gi = _group_idx(block_dir, bucket, blk)
+        o = np.lexsort((lab, gi))
+        gi_s, lab_s = gi[o], lab[o]
+        b = np.flatnonzero(np.r_[True, (gi_s[1:] != gi_s[:-1]) | (lab_s[1:] != lab_s[:-1])])
+        cnt = np.diff(np.append(b, len(gi_s)))
+        g_at = gi_s[b]
+        return pd.DataFrame({
+            "dst": np.asarray(blk["dst_unique"])[g_at],
+            "label": lab_s[b],
+            "cnt": cnt.astype(np.int64),
+            "bucket": np.asarray(blk["dstb_unique"])[g_at].astype(np.int32),
+        })
+
+    return fn
+
+
+def combine_mode(partials: pd.DataFrame, carriers: pd.DataFrame):
+    """Winner label per destination: max total count, ties → min label.
+
+    ``carriers`` has one row per vertex of the bucket (its own label,
+    count 0 — it wins only when the vertex has no neighbor labels).
+    Returns (ids, winner_labels, prev_labels) aligned ascending by id.
+    """
+    dst = np.concatenate([partials["dst"].to_numpy(), carriers["dst"].to_numpy()])
+    lab = np.concatenate([partials["label"].to_numpy(), carriers["label"].to_numpy()])
+    cnt = np.concatenate([partials["cnt"].to_numpy(),
+                          np.zeros(len(carriers), dtype=np.int64)])
+    o = np.lexsort((lab, dst))
+    d_s, l_s, c_s = dst[o], lab[o], cnt[o]
+    b = np.flatnonzero(np.r_[True, (d_s[1:] != d_s[:-1]) | (l_s[1:] != l_s[:-1])])
+    cnt_u = np.add.reduceat(c_s, b)
+    d_u, l_u = d_s[b], l_s[b]
+    o2 = np.lexsort((l_u, -cnt_u, d_u))
+    first = np.flatnonzero(np.r_[True, d_u[o2][1:] != d_u[o2][:-1]])
+    win_dst = d_u[o2][first]
+    win_lab = l_u[o2][first]
+    car_dst = carriers["dst"].to_numpy()
+    car_order = np.argsort(car_dst, kind="stable")
+    prev = carriers["label"].to_numpy()[car_order]
+    # carriers cover every vertex of the bucket → win_dst == sorted ids
+    return win_dst, win_lab, prev
+
+
 def combine_sums(partials: pd.DataFrame, state_pdf: pd.DataFrame) -> np.ndarray:
     """Dense per-vertex sums of partials, aligned to state_pdf row order."""
     n = len(state_pdf)

@@ -27,11 +27,20 @@ def label_propagation(
     resume: bool = False,
     num_partitions: int | None = None,
     broadcast_state: bool | None = None,
+    strategy: str = "auto",
+    block_dir: str | None = None,
 ) -> LoopResult:
     """State: ``(id, label, prev_label)``; result = select(id, label)."""
     spark = graph.spark
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    use_bc = choose_strategy(graph.num_vertices(), broadcast_state)
+    n = graph.num_vertices()
+    if strategy == "auto":
+        strategy = "csr" if not choose_strategy(n, broadcast_state) else "dataframe"
+    if strategy == "csr":
+        return _lp_csr(
+            graph, max_supersteps, checkpoint_dir, checkpoint_every, resume, n_part, block_dir
+        )
+    use_bc = choose_strategy(n, broadcast_state)
     graph.persist_for_iteration(n_part, key=None if use_bc else "src")
     sym = graph.edges_sym()
 
@@ -103,6 +112,125 @@ def label_propagation(
         initial_metrics=initial_metrics,
         observe_cols=observe_cols,
     )
+
+
+def _lp_csr(
+    graph: Graph,
+    max_supersteps: int,
+    checkpoint_dir: str | None,
+    checkpoint_every: int,
+    resume: bool,
+    n_part: int,
+    block_dir: str | None,
+) -> LoopResult:
+    """CSR-block mode propagation (north_star strategy; SURVEY.md §2.9).
+
+    Gather stage emits per-(dst, label) neighbor counts from the
+    worker-cached symmetrized blocks (one lexsort per bucket — labels
+    change every superstep, so the (group, label) pairs cannot be
+    pre-sorted); the keyed reduce merges counts across buckets and picks
+    the mode with min-label tie-break, all vectorized. Shares its block
+    directory layout with connected components (same symmetrized edges).
+    """
+    import tempfile
+
+    from graftpark.blocks import bucket_col, combine_mode, mode_gather_fn, write_edge_blocks
+    from graftpark.kernels.pagerank import _superstep_confs
+
+    spark = graph.spark
+    if block_dir is None:
+        block_dir = tempfile.mkdtemp(prefix="graftpark-blocks-sym-")
+    import os
+
+    if not os.path.isdir(os.path.join(block_dir, "src_bucket=0")):
+        write_edge_blocks(graph.edges_sym(), n_part, block_dir)
+
+    init = (
+        graph.vertices()
+        .select(
+            "id",
+            F.col("id").alias("label"),
+            F.lit(None).cast("long").alias("prev_label"),
+            bucket_col("id", n_part).cast("int").alias("bucket"),
+        )
+        .repartition(n_part, "bucket")
+    )
+    checkpointer = Checkpointer(checkpoint_dir, every=checkpoint_every) if checkpoint_dir else None
+    start, initial_metrics, state0 = 1, None, init
+    if resume and checkpointer is not None:
+        rp = resume_point(checkpointer, spark)
+        if rp is not None:
+            state0, last, initial_metrics = rp
+            start = last + 1
+
+    state_schema = "id long, label long, prev_label long, bucket int"
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        # union (not cogroup): binary plan nodes multiply Catalyst size
+        # stats — squares per superstep under localCheckpoint (see pagerank)
+        def finish(key, pdf):
+            import pandas as pd
+
+            own_mask = pdf["own"].to_numpy()
+            carriers = pdf[own_mask]
+            partials = pdf[~own_mask]
+            if len(carriers) == 0:
+                return pd.DataFrame({c: [] for c in ("id", "label", "prev_label", "bucket")})
+            ids, winners, prev = combine_mode(partials, carriers)
+            import numpy as np
+
+            return pd.DataFrame(
+                {
+                    "id": ids,
+                    "label": winners,
+                    "prev_label": prev,
+                    "bucket": np.full(len(ids), int(key[0]), dtype=np.int32),
+                }
+            )
+
+        partials = state.groupBy("bucket").applyInPandas(
+            mode_gather_fn(block_dir, "label"),
+            schema="dst long, label long, cnt long, bucket int",
+        ).select("dst", "label", "cnt", F.lit(False).alias("own"), "bucket")
+        carriers = state.select(
+            F.col("id").alias("dst"),
+            F.col("label"),
+            F.lit(0).cast("long").alias("cnt"),
+            F.lit(True).alias("own"),
+            "bucket",
+        )
+        return (
+            partials.unionByName(carriers)
+            .groupBy("bucket")
+            .applyInPandas(finish, schema=state_schema)
+        )
+
+    def observe_cols() -> dict:
+        return {
+            "changed": F.count(F.when(F.col("label") != F.col("prev_label"), True)),
+            "num_labels_approx": F.approx_count_distinct("label"),
+        }
+
+    def stats(observed: dict, prev: DataFrame, i: int) -> dict:
+        changed = int(observed["changed"])
+        return {
+            "delta": float(changed),
+            "active": changed,
+            "num_labels_approx": int(observed["num_labels_approx"]),
+        }
+
+    with _superstep_confs(spark):
+        return iterate(
+            state0,
+            step,
+            stats,
+            converged_fn=lambda rec: rec["active"] == 0,
+            max_supersteps=max_supersteps,
+            checkpointer=checkpointer,
+            start_superstep=start,
+            initial_metrics=initial_metrics,
+            observe_cols=observe_cols,
+        )
 
 
 def labels_df(result: LoopResult) -> DataFrame:

@@ -40,9 +40,15 @@ spark = get_spark(
 import tempfile
 
 strategy = os.environ.get("GRAFTPARK_PROFILE_STRATEGY", "auto")
-block_dir = tempfile.mkdtemp(prefix="graftpark-profile-blocks-")
-pdf = powerlaw_edges_pdf(n_edges, n_vertices, seed=42)
-g = Graph(spark.createDataFrame(pdf))
+block_dir = os.environ.get("GRAFTPARK_PROFILE_BLOCKS") or tempfile.mkdtemp(
+    prefix="graftpark-profile-blocks-"
+)
+data = os.environ.get("GRAFTPARK_PROFILE_DATA")
+if data:
+    g = Graph(spark.read.parquet(data), assume_normalized=True)
+else:
+    pdf = powerlaw_edges_pdf(n_edges, n_vertices, seed=42)
+    g = Graph(spark.createDataFrame(pdf))
 pagerank(g, tol=0.0, max_supersteps=1, strategy=strategy, block_dir=block_dir)  # warm-up
 
 import datetime

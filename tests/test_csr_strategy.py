@@ -12,6 +12,7 @@ import pytest
 from graftpark.fixtures import G6_TWO_COMP, G30_HUB, powerlaw_edges_pdf
 from graftpark.graph import Graph
 from graftpark.kernels.components import connected_components
+from graftpark.kernels.labelprop import label_propagation
 from graftpark.kernels.pagerank import pagerank
 
 
@@ -60,6 +61,16 @@ def test_cc_csr_matches_dataframe_powerlaw(spark, powerlaw_graph, tmp_path):
     a = _comps(connected_components(powerlaw_graph, strategy="dataframe"))
     b = _comps(connected_components(powerlaw_graph, strategy="csr",
                                     block_dir=str(tmp_path / "blk")))
+    assert a == b
+
+
+def test_labelprop_csr_matches_dataframe(spark, powerlaw_graph, tmp_path):
+    a = {r["id"]: r["label"]
+         for r in label_propagation(powerlaw_graph, strategy="dataframe",
+                                    max_supersteps=5).state.collect()}
+    b = {r["id"]: r["label"]
+         for r in label_propagation(powerlaw_graph, strategy="csr", max_supersteps=5,
+                                    block_dir=str(tmp_path / "blk")).state.collect()}
     assert a == b
 
 
