@@ -54,11 +54,16 @@ spark = get_spark(
 )
 g = Graph(spark.read.parquet(data), assume_normalized=True)
 # warm-up (builds CSR blocks on first level, primes JIT + worker pool)
-pagerank(g, tol=0.0, max_supersteps=2, strategy="csr", block_dir=block_dir,
+strategy = os.environ.get("GRAFTPARK_SCALING_STRATEGY", "packed")
+pagerank(g, tol=0.0, max_supersteps=2, strategy=strategy, block_dir=block_dir,
          num_partitions=buckets)
+if os.environ.get("GRAFTPARK_SCALING_WARMUP_ONLY") == "1":
+    print("SCALING_RESULT " + json.dumps({"warmup_only": True}))
+    spark.stop()
+    sys.exit(0)
 e_dir = g.edges.count()
 t0 = time.monotonic()
-res = pagerank(g, tol=1e-6, max_supersteps=60, strategy="csr",
+res = pagerank(g, tol=1e-6, max_supersteps=60, strategy=strategy,
                block_dir=block_dir, num_partitions=buckets)
 wall = time.monotonic() - t0
 walls = [m["wall_s"] for m in res.metrics]
@@ -92,13 +97,15 @@ def prepare_input(n_edges: int, n_vertices: int, seed: int, path: str) -> None:
     open(os.path.join(path, "_OK"), "w").close()
 
 
-def run_level(cpus: int, buckets: int, data: str, blocks: str, pin: bool) -> dict:
+def run_level(cpus: int, buckets: int, data: str, blocks: str, pin: bool,
+              warmup_only: bool = False) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
         GRAFTPARK_SCALING_BUCKETS=str(buckets),
         GRAFTPARK_SCALING_DATA=data,
         GRAFTPARK_SCALING_BLOCKS=blocks,
+        GRAFTPARK_SCALING_WARMUP_ONLY="1" if warmup_only else "0",
         GRAFTPARK_REPO=os.path.dirname(os.path.abspath(__file__)),
         GRAFTPARK_DRIVER_MEM=os.environ.get("GRAFTPARK_DRIVER_MEM", "32g"),
     )
@@ -115,8 +122,8 @@ def run_level(cpus: int, buckets: int, data: str, blocks: str, pin: bool) -> dic
 def main() -> None:
     n_low = int(os.environ.get("GRAFTPARK_SCALING_N", "8"))
     n_high = 4 * n_low
-    n_edges = int(os.environ.get("GRAFTPARK_SCALING_EDGES", "64000000"))
-    n_vertices = int(os.environ.get("GRAFTPARK_SCALING_VERTICES", "8000000"))
+    n_edges = int(os.environ.get("GRAFTPARK_SCALING_EDGES", "256000000"))
+    n_vertices = int(os.environ.get("GRAFTPARK_SCALING_VERTICES", "16000000"))
     buckets = int(os.environ.get("GRAFTPARK_SCALING_BUCKETS", str(n_high)))
     pin = os.environ.get("GRAFTPARK_SCALING_PIN", "1") != "0"
 
@@ -129,6 +136,11 @@ def main() -> None:
     prepare_input(n_edges, n_vertices, 42, data)
 
     t0 = time.monotonic()
+    if not os.path.exists(os.path.join(blocks, "_SUCCESS")):
+        # one-time artifact build (blocks, sidecar, static positions) at
+        # full parallelism, unpinned — setup, not part of either level
+        run_level(os.cpu_count() or n_high, buckets, data, blocks, pin=False,
+                  warmup_only=True)
     low = run_level(n_low, buckets, data, blocks, pin)
     high = run_level(n_high, buckets, data, blocks, pin)
     eff = high["edges_per_sec_per_superstep"] / (4.0 * low["edges_per_sec_per_superstep"])

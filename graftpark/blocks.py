@@ -298,6 +298,246 @@ def combine_mode(partials: pd.DataFrame, carriers: pd.DataFrame):
     return win_dst, win_lab, prev
 
 
+# ---------------------------------------------------------------------------
+# Packed-message layer: vertex state and partial aggregates travel between
+# buckets as raw float64/int64 vectors in single binary cells, not as
+# per-vertex rows. The destination-id list of every (src_bucket b →
+# dst_bucket c) message is STATIC — derivable from block b's npy arrays —
+# so payloads carry values only; receivers reconstruct alignment from the
+# shared mmap blocks + the per-bucket vertex sidecar. This removes the
+# E-row-per-superstep JVM shuffle (its per-row/GC overhead dominated the
+# scaling profile) while keeping the same bucket-keyed shuffle dataflow.
+# ---------------------------------------------------------------------------
+
+_V_COLS = ("ids", "out_deg")
+
+
+def vertex_sidecar_writer(block_dir: str):
+    """applyInPandas fn: write one bucket's static vertex arrays
+    (sorted ids, out-degrees) as npy, once; emits (bucket, n_vertices)."""
+
+    def fn(key, pdf):
+        import tempfile
+
+        bucket = int(key[0])
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        vdir = os.path.join(block_dir, "_vertices", f"bucket={bucket}")
+        if not os.path.isdir(vdir):
+            os.makedirs(os.path.join(block_dir, "_vertices"), exist_ok=True)
+            tmp = tempfile.mkdtemp(dir=os.path.join(block_dir, "_vertices"))
+            np.save(os.path.join(tmp, "ids.npy"), ids[order])
+            np.save(os.path.join(tmp, "out_deg.npy"),
+                    pdf["out_deg"].to_numpy()[order].astype(np.int64))
+            try:
+                os.replace(tmp, vdir)
+            except OSError:
+                import shutil
+
+                shutil.rmtree(tmp, ignore_errors=True)
+        return pd.DataFrame({"bucket": [bucket], "n": [len(ids)]})
+
+    return fn
+
+
+def load_vertices(block_dir: str, bucket: int) -> dict | None:
+    """Worker-side: mmap-open one bucket's static vertex sidecar."""
+    key = ("v", block_dir, bucket)
+    if key in _BLOCK_CACHE:
+        return _BLOCK_CACHE[key]
+    vdir = os.path.join(block_dir, "_vertices", f"bucket={bucket}")
+    if not os.path.isdir(vdir):
+        _BLOCK_CACHE[key] = None
+        return None
+    out = {name: np.load(os.path.join(vdir, f"{name}.npy"), mmap_mode="r") for name in _V_COLS}
+    _BLOCK_CACHE[key] = out
+    return out
+
+
+def _static_positions(block_dir: str, bucket: int, blk: dict) -> np.ndarray:
+    """Per-edge gather positions into the bucket's (static) sidecar id
+    vector, built once by the first toucher and mmap-shared ever after.
+
+    Valid for the packed strategy only, where the state layout IS the
+    sidecar (sorted ids) by construction.
+    """
+    key = ("spos", block_dir, bucket)
+    pos = _BLOCK_CACHE.get(key)
+    if pos is None:
+        import tempfile
+
+        npy_dir = os.path.join(block_dir, "_npy", f"bucket={bucket}")
+        path = os.path.join(npy_dir, "positions.npy")
+        if not os.path.exists(path):
+            vtx = load_vertices(block_dir, bucket)
+            p = np.searchsorted(np.asarray(vtx["ids"]), np.asarray(blk["src_by_dst"]))
+            if len(vtx["ids"]) >= 2**31:
+                raise ValueError("bucket too large for int32 positions")
+            fd, tmp = tempfile.mkstemp(dir=npy_dir, suffix=".npy")
+            os.close(fd)
+            np.save(tmp, p.astype(np.int32))
+            os.replace(tmp, path)
+        pos = np.load(path, mmap_mode="r")
+        _BLOCK_CACHE[key] = pos
+    return pos
+
+
+def _dst_splits(block_dir: str, bucket: int, blk: dict, num_buckets: int) -> list:
+    """Static per-destination-bucket slices of block ``bucket``'s dst list."""
+    key = ("split", block_dir, bucket)
+    splits = _BLOCK_CACHE.get(key)
+    if splits is None:
+        dstb = np.asarray(blk["dstb_unique"])
+        splits = [np.flatnonzero(dstb == c) for c in range(num_buckets)]
+        _BLOCK_CACHE[key] = splits
+    return splits
+
+
+def _msg_positions(block_dir: str, src_bucket: int, dst_bucket: int, num_buckets: int):
+    """Static positions of message (b→c)'s dst ids inside bucket c's
+    sorted vertex vector. Cached per worker; built from the shared mmap
+    block + sidecar, so the build is cheap and happens once per pair."""
+    key = ("mpos", block_dir, src_bucket, dst_bucket)
+    pos = _BLOCK_CACHE.get(key)
+    if pos is None:
+        blk = load_block(block_dir, src_bucket)
+        vtx = load_vertices(block_dir, dst_bucket)
+        idx = _dst_splits(block_dir, src_bucket, blk, num_buckets)[dst_bucket]
+        ids_bc = np.asarray(blk["dst_unique"])[idx]
+        pos = np.searchsorted(np.asarray(vtx["ids"]), ids_bc).astype(np.int64)
+        _BLOCK_CACHE[key] = pos
+    return pos
+
+
+def packed_gather_fn(block_dir: str, num_buckets: int):
+    """mapInPandas fn: packed state rows → packed partial-sum messages.
+
+    Input rows: (bucket, src_bucket=-1, payload = float64 ranks/out_deg
+    weights? no — raw ranks). For each state row, compute the per-edge
+    contributions from the worker-cached CSR block, reduce per
+    destination, and emit ONE binary message per destination bucket.
+    """
+
+    def fn(batches):
+        import time
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                t0 = time.perf_counter()
+                b = int(row.bucket)
+                # pass the state itself through to the reduce (src_bucket=-1)
+                # so the superstep needs no separate carrier branch
+                yield pd.DataFrame(
+                    {"bucket": np.asarray([b], np.int32),
+                     "src_bucket": np.asarray([-1], np.int32),
+                     "payload": [row.payload]}
+                )
+                blk = load_block(block_dir, b)
+                vtx = load_vertices(block_dir, b)
+                if blk is None or vtx is None or blk["n_edges"] == 0:
+                    continue
+                rank = np.frombuffer(row.payload, dtype=np.float64)
+                od = np.asarray(vtx["out_deg"])
+                w = np.divide(rank, od, out=np.zeros_like(rank), where=od > 0)
+                pos = _static_positions(block_dir, b, blk)
+                per_edge = w[pos]
+                partial = np.add.reduceat(per_edge, np.asarray(blk["starts"]))
+                splits = _dst_splits(block_dir, b, blk, num_buckets)
+                out_bucket, out_src, out_payload = [], [], []
+                for c in range(num_buckets):
+                    idx = splits[c]
+                    if len(idx):
+                        out_bucket.append(c)
+                        out_src.append(b)
+                        out_payload.append(partial[idx].tobytes())
+                _trace("pgather", t0, bucket=b, edges=blk["n_edges"])
+                yield pd.DataFrame(
+                    {"bucket": np.asarray(out_bucket, np.int32),
+                     "src_bucket": np.asarray(out_src, np.int32),
+                     "payload": out_payload}
+                )
+
+    return fn
+
+
+def packed_finish_fn(block_dir: str, num_buckets: int, base: float, alpha: float,
+                     tol_active: float):
+    """applyInPandas fn (grouped by bucket): combine packed messages into
+    the bucket's next rank vector + per-bucket convergence aggregates."""
+
+    def fn(key, pdf):
+        import time
+
+        t0 = time.perf_counter()
+        c = int(key[0])
+        vtx = load_vertices(block_dir, c)
+        if vtx is None:
+            return pd.DataFrame({"bucket": [], "payload": [], "delta": [],
+                                 "dangling": [], "active": []})
+        n_c = len(vtx["ids"])
+        prev = None
+        sums = np.zeros(n_c, dtype=np.float64)
+        for row in pdf.itertuples(index=False):
+            b = int(row.src_bucket)
+            if b < 0:
+                prev = np.frombuffer(row.payload, dtype=np.float64)
+            else:
+                pos = _msg_positions(block_dir, b, c, num_buckets)
+                sums[pos] += np.frombuffer(row.payload, dtype=np.float64)
+        if prev is None:
+            prev = np.zeros(n_c, dtype=np.float64)
+        new = base + alpha * sums
+        diff = np.abs(new - prev)
+        od = np.asarray(vtx["out_deg"])
+        _trace("pfinish", t0, bucket=c, msgs=len(pdf))
+        return pd.DataFrame(
+            {
+                "bucket": np.asarray([c], np.int32),
+                "payload": [new.tobytes()],
+                "delta": [float(diff.sum())],
+                "dangling": [float(new[od == 0].sum())],
+                "active": [int((diff > tol_active).sum())],
+            }
+        )
+
+    return fn
+
+
+def packed_expand_fn(block_dir: str):
+    """mapInPandas fn: packed state rows → per-vertex (id, rank) rows."""
+
+    def fn(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                vtx = load_vertices(block_dir, int(row.bucket))
+                if vtx is None:
+                    continue
+                yield pd.DataFrame(
+                    {"id": np.asarray(vtx["ids"]),
+                     "rank": np.frombuffer(row.payload, dtype=np.float64)}
+                )
+
+    return fn
+
+
+def pack_fn(block_dir: str, value_col: str):
+    """applyInPandas fn (grouped by bucket): per-vertex rows → one packed
+    row, value vector aligned to the bucket's sorted sidecar ids."""
+
+    def fn(key, pdf):
+        bucket = int(key[0])
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        payload = pdf[value_col].to_numpy().astype(np.float64)[order]
+        return pd.DataFrame(
+            {"bucket": np.asarray([bucket], np.int32),
+             "payload": [payload.tobytes()],
+             "delta": [float("inf")], "dangling": [0.0], "active": [len(ids)]}
+        )
+
+    return fn
+
+
 def combine_sums(partials: pd.DataFrame, state_pdf: pd.DataFrame) -> np.ndarray:
     """Dense per-vertex sums of partials, aligned to state_pdf row order."""
     n = len(state_pdf)

@@ -64,6 +64,29 @@ def test_cc_csr_matches_dataframe_powerlaw(spark, powerlaw_graph, tmp_path):
     assert a == b
 
 
+def test_pagerank_packed_matches_dataframe(spark, powerlaw_graph, tmp_path):
+    a = _ranks(pagerank(powerlaw_graph, strategy="dataframe", max_supersteps=25))
+    b = _ranks(pagerank(powerlaw_graph, strategy="packed", max_supersteps=25,
+                        block_dir=str(tmp_path / "blk")))
+    assert set(a) == set(b)
+    assert max(abs(a[k] - b[k]) for k in a) < 1e-9
+    assert abs(sum(b.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_packed_checkpoint_resume(spark, powerlaw_graph, tmp_path):
+    run_dir, blk = str(tmp_path / "run"), str(tmp_path / "blk")
+    full = pagerank(powerlaw_graph, strategy="packed", max_supersteps=8, tol=0.0,
+                    block_dir=blk)
+    pagerank(powerlaw_graph, strategy="packed", max_supersteps=4, tol=0.0, block_dir=blk,
+             checkpoint_dir=run_dir, checkpoint_every=4)
+    resumed = pagerank(powerlaw_graph, strategy="packed", max_supersteps=8, tol=0.0,
+                       block_dir=blk, checkpoint_dir=run_dir, checkpoint_every=4,
+                       resume=True)
+    a, b = _ranks(full), _ranks(resumed)
+    assert resumed.supersteps == 8
+    assert max(abs(a[k] - b[k]) for k in a) < 1e-12
+
+
 def test_labelprop_csr_matches_dataframe(spark, powerlaw_graph, tmp_path):
     a = {r["id"]: r["label"]
          for r in label_propagation(powerlaw_graph, strategy="dataframe",
