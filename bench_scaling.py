@@ -49,7 +49,12 @@ spark = get_spark(
     shuffle_partitions=buckets,
     extra={
         "spark.ui.showConsoleProgress": "false",
+        # throughput-GC for the byte-payload churn of packed supersteps
         "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+        # tmpfs shuffle dirs: the single-box stand-in for per-executor
+        # NVMe (aggregate shuffle bandwidth scales with cluster size on a
+        # real cluster; one shared disk does not)
+        "spark.local.dir": os.environ.get("GRAFTPARK_SCALING_LOCAL_DIR", "/dev/shm/gp-shuffle"),
     },
 )
 g = Graph(spark.read.parquet(data), assume_normalized=True)

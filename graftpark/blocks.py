@@ -382,31 +382,80 @@ def _static_positions(block_dir: str, bucket: int, blk: dict) -> np.ndarray:
     return pos
 
 
-def _dst_splits(block_dir: str, bucket: int, blk: dict, num_buckets: int) -> list:
-    """Static per-destination-bucket slices of block ``bucket``'s dst list."""
-    key = ("split", block_dir, bucket)
-    splits = _BLOCK_CACHE.get(key)
-    if splits is None:
-        dstb = np.asarray(blk["dstb_unique"])
-        splits = [np.flatnonzero(dstb == c) for c in range(num_buckets)]
-        _BLOCK_CACHE[key] = splits
-    return splits
+def _atomic_save_dir(parent: str, name: str, arrays: dict) -> str:
+    """Write a dict of arrays into ``parent/name`` atomically; racing
+    builders produce identical content, first rename wins."""
+    import shutil
+    import tempfile
+
+    target = os.path.join(parent, name)
+    if not os.path.isdir(target):
+        os.makedirs(parent, exist_ok=True)
+        tmp = tempfile.mkdtemp(dir=parent)
+        for k, v in arrays.items():
+            np.save(os.path.join(tmp, f"{k}.npy"), v)
+        try:
+            os.replace(tmp, target)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return target
 
 
-def _msg_positions(block_dir: str, src_bucket: int, dst_bucket: int, num_buckets: int):
-    """Static positions of message (b→c)'s dst ids inside bucket c's
-    sorted vertex vector. Cached per worker; built from the shared mmap
-    block + sidecar, so the build is cheap and happens once per pair."""
-    key = ("mpos", block_dir, src_bucket, dst_bucket)
-    pos = _BLOCK_CACHE.get(key)
-    if pos is None:
-        blk = load_block(block_dir, src_bucket)
-        vtx = load_vertices(block_dir, dst_bucket)
-        idx = _dst_splits(block_dir, src_bucket, blk, num_buckets)[dst_bucket]
-        ids_bc = np.asarray(blk["dst_unique"])[idx]
-        pos = np.searchsorted(np.asarray(vtx["ids"]), ids_bc).astype(np.int64)
-        _BLOCK_CACHE[key] = pos
-    return pos
+def _gather_layout(block_dir: str, bucket: int, blk: dict, num_buckets: int) -> dict:
+    """Static dst-bucket grouping of block ``bucket``'s per-dst partials:
+    ``order`` rearranges the partial vector so destination buckets are
+    contiguous; ``offsets[c]:offsets[c+1]`` slices bucket c's segment.
+    Built once, mmap-shared (a per-worker copy at 10^8-edge scale costs
+    GBs per worker and evicts the page cache)."""
+    key = ("glay", block_dir, bucket)
+    lay = _BLOCK_CACHE.get(key)
+    if lay is None:
+        d = os.path.join(block_dir, "_npy", f"bucket={bucket}")
+        target = os.path.join(d, "gather_layout")
+        if not os.path.isdir(target):
+            dstb = np.asarray(blk["dstb_unique"])
+            order = np.argsort(dstb, kind="stable").astype(np.int64)
+            counts = np.bincount(dstb, minlength=num_buckets)
+            offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+            _atomic_save_dir(d, "gather_layout", {"order": order, "offsets": offsets})
+        lay = {name: np.load(os.path.join(target, f"{name}.npy"), mmap_mode="r")
+               for name in ("order", "offsets")}
+        _BLOCK_CACHE[key] = lay
+    return lay
+
+
+def _finish_layout(block_dir: str, dst_bucket: int, num_buckets: int) -> dict:
+    """Static scatter positions for bucket ``dst_bucket``'s incoming
+    messages: ``pos[offsets[b]:offsets[b+1]]`` are the positions (into
+    the bucket's sorted vertex vector) of src-bucket b's payload values.
+    Built once by the first finish task to touch the bucket; mmap-shared."""
+    key = ("flay", block_dir, dst_bucket)
+    lay = _BLOCK_CACHE.get(key)
+    if lay is None:
+        parent = os.path.join(block_dir, "_finish")
+        target = os.path.join(parent, f"bucket={dst_bucket}")
+        if not os.path.isdir(target):
+            vtx = load_vertices(block_dir, dst_bucket)
+            ids_c = np.asarray(vtx["ids"])
+            chunks, offsets = [], [0]
+            for b in range(num_buckets):
+                blk = load_block(block_dir, b)
+                if blk is None or blk["n_edges"] == 0:
+                    offsets.append(offsets[-1])
+                    continue
+                glay = _gather_layout(block_dir, b, blk, num_buckets)
+                o = np.asarray(glay["offsets"])
+                seg = np.asarray(glay["order"])[o[dst_bucket]:o[dst_bucket + 1]]
+                ids_bc = np.asarray(blk["dst_unique"])[seg]
+                chunks.append(np.searchsorted(ids_c, ids_bc).astype(np.int32))
+                offsets.append(offsets[-1] + len(ids_bc))
+            pos = np.concatenate(chunks) if chunks else np.empty(0, np.int32)
+            _atomic_save_dir(parent, f"bucket={dst_bucket}",
+                             {"pos": pos, "offsets": np.asarray(offsets, np.int64)})
+        lay = {name: np.load(os.path.join(target, f"{name}.npy"), mmap_mode="r")
+               for name in ("pos", "offsets")}
+        _BLOCK_CACHE[key] = lay
+    return lay
 
 
 def packed_gather_fn(block_dir: str, num_buckets: int):
@@ -442,14 +491,16 @@ def packed_gather_fn(block_dir: str, num_buckets: int):
                 pos = _static_positions(block_dir, b, blk)
                 per_edge = w[pos]
                 partial = np.add.reduceat(per_edge, np.asarray(blk["starts"]))
-                splits = _dst_splits(block_dir, b, blk, num_buckets)
+                lay = _gather_layout(block_dir, b, blk, num_buckets)
+                grouped = partial[np.asarray(lay["order"])]
+                off = np.asarray(lay["offsets"])
                 out_bucket, out_src, out_payload = [], [], []
                 for c in range(num_buckets):
-                    idx = splits[c]
-                    if len(idx):
+                    lo, hi = int(off[c]), int(off[c + 1])
+                    if hi > lo:
                         out_bucket.append(c)
                         out_src.append(b)
-                        out_payload.append(partial[idx].tobytes())
+                        out_payload.append(grouped[lo:hi].tobytes())
                 _trace("pgather", t0, bucket=b, edges=blk["n_edges"])
                 yield pd.DataFrame(
                     {"bucket": np.asarray(out_bucket, np.int32),
@@ -477,13 +528,14 @@ def packed_finish_fn(block_dir: str, num_buckets: int, base: float, alpha: float
         n_c = len(vtx["ids"])
         prev = None
         sums = np.zeros(n_c, dtype=np.float64)
+        flay = _finish_layout(block_dir, c, num_buckets)
+        fpos, foff = np.asarray(flay["pos"]), np.asarray(flay["offsets"])
         for row in pdf.itertuples(index=False):
             b = int(row.src_bucket)
             if b < 0:
                 prev = np.frombuffer(row.payload, dtype=np.float64)
             else:
-                pos = _msg_positions(block_dir, b, c, num_buckets)
-                sums[pos] += np.frombuffer(row.payload, dtype=np.float64)
+                sums[fpos[foff[b]:foff[b + 1]]] += np.frombuffer(row.payload, dtype=np.float64)
         if prev is None:
             prev = np.zeros(n_c, dtype=np.float64)
         new = base + alpha * sums

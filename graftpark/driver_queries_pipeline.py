@@ -112,6 +112,28 @@ def _qvec_literal() -> str:
     return "[" + ", ".join(repr(x) for x in _QUERY_VEC) + "]::DOUBLE[]"
 
 
+
+
+def q_multimodal_meta(spark, sf_dir):
+    from graftpark.pipeline.multimodal import attach_blobs, blob_meta
+
+    return blob_meta(attach_blobs(_docs(spark, sf_dir), content="text"))
+
+
+def q_image_features(spark, sf_dir):
+    """Arrow-batched decode + feature pass (deterministic fake decoder;
+    no SQL oracle — driver records the rows-only check)."""
+    from graftpark.pipeline.multimodal import attach_blobs, image_features
+
+    return image_features(attach_blobs(_docs(spark, sf_dir), content="text"))
+
+
+def q_audio_features(spark, sf_dir):
+    from graftpark.pipeline.multimodal import attach_blobs, audio_features
+
+    return audio_features(attach_blobs(_docs(spark, sf_dir), content="text"))
+
+
 PIPELINE_ORACLE_SQL: dict[str, str] = {
     "dedup_exact": """
 SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
@@ -185,6 +207,13 @@ SELECT doc_id,
        CAST(SUM(CASE WHEN sv > 0 THEN (SELECT arr FROM p2)[CAST(b AS INT) + 1] ELSE 0 END) AS BIGINT) AS simhash
 FROM s GROUP BY doc_id
 """,
+    "multimodal_meta": """
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+""",
     "cosine_topk": f"""
 WITH q AS (SELECT {_qvec_literal()} AS qv)
 SELECT vec_id,
@@ -210,4 +239,7 @@ PIPELINE_QUERIES = {
     "simhash": q_simhash,
     "cosine_topk": q_cosine_topk,
     "embedding_norms": q_embedding_norms,
+    "multimodal_meta": q_multimodal_meta,
+    "image_features": q_image_features,
+    "audio_features": q_audio_features,
 }

@@ -57,6 +57,11 @@ def get_spark(
         # Iterative loops re-plan small DataFrames constantly; keep the
         # broadcast threshold modest so frontier-sized tables broadcast.
         .config("spark.sql.autoBroadcastJoinThreshold", "32m")
+        # Superstep loops retire one shuffle per iteration; ContextCleaner
+        # only releases them after a driver GC, which a large mostly-idle
+        # heap never triggers — stale shuffle files then evict the page
+        # cache and throughput collapses after ~5-10 supersteps.
+        .config("spark.cleaner.periodicGC.interval", "45s")
     )
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)
