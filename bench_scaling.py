@@ -68,8 +68,9 @@ if os.environ.get("GRAFTPARK_SCALING_WARMUP_ONLY") == "1":
     sys.exit(0)
 e_dir = g.edges.count()
 t0 = time.monotonic()
+k = int(os.environ.get("GRAFTPARK_SCALING_STEPS_PER_JOB", "4" if strategy == "packed" else "1"))
 res = pagerank(g, tol=1e-6, max_supersteps=60, strategy=strategy,
-               block_dir=block_dir, num_partitions=buckets)
+               block_dir=block_dir, num_partitions=buckets, steps_per_job=k)
 wall = time.monotonic() - t0
 walls = [m["wall_s"] for m in res.metrics]
 mean_step = sum(walls) / len(walls)

@@ -481,12 +481,24 @@ def packed_gather_fn(block_dir: str, num_buckets: int):
                      "src_bucket": np.asarray([-1], np.int32),
                      "payload": [row.payload]}
                 )
-                blk = load_block(block_dir, b)
                 vtx = load_vertices(block_dir, b)
-                if blk is None or vtx is None or blk["n_edges"] == 0:
+                if vtx is None:
                     continue
                 rank = np.frombuffer(row.payload, dtype=np.float64)
                 od = np.asarray(vtx["out_deg"])
+                # broadcast this bucket's dangling mass to every bucket
+                # (src_bucket=-2): the reduce derives the global dangling
+                # term itself, so supersteps chain inside one query with
+                # no driver-side scalar roundtrip between them
+                dang = float(rank[od == 0].sum())
+                yield pd.DataFrame(
+                    {"bucket": np.arange(num_buckets, dtype=np.int32),
+                     "src_bucket": np.full(num_buckets, -2, np.int32),
+                     "payload": [np.asarray([dang]).tobytes()] * num_buckets}
+                )
+                blk = load_block(block_dir, b)
+                if blk is None or blk["n_edges"] == 0:
+                    continue
                 w = np.divide(rank, od, out=np.zeros_like(rank), where=od > 0)
                 pos = _static_positions(block_dir, b, blk)
                 per_edge = w[pos]
@@ -511,10 +523,14 @@ def packed_gather_fn(block_dir: str, num_buckets: int):
     return fn
 
 
-def packed_finish_fn(block_dir: str, num_buckets: int, base: float, alpha: float,
+def packed_finish_fn(block_dir: str, num_buckets: int, n_vertices: int, alpha: float,
                      tol_active: float):
     """applyInPandas fn (grouped by bucket): combine packed messages into
-    the bucket's next rank vector + per-bucket convergence aggregates."""
+    the bucket's next rank vector + per-bucket convergence aggregates.
+
+    The damping base term is derived from the dangling-mass broadcast
+    rows (src_bucket=-2), so the UDF is superstep-independent and
+    supersteps chain inside one query."""
 
     def fn(key, pdf):
         import time
@@ -527,17 +543,21 @@ def packed_finish_fn(block_dir: str, num_buckets: int, base: float, alpha: float
                                  "dangling": [], "active": []})
         n_c = len(vtx["ids"])
         prev = None
+        dm = 0.0
         sums = np.zeros(n_c, dtype=np.float64)
         flay = _finish_layout(block_dir, c, num_buckets)
         fpos, foff = np.asarray(flay["pos"]), np.asarray(flay["offsets"])
         for row in pdf.itertuples(index=False):
             b = int(row.src_bucket)
-            if b < 0:
+            if b == -1:
                 prev = np.frombuffer(row.payload, dtype=np.float64)
+            elif b == -2:
+                dm += float(np.frombuffer(row.payload, dtype=np.float64)[0])
             else:
                 sums[fpos[foff[b]:foff[b + 1]]] += np.frombuffer(row.payload, dtype=np.float64)
         if prev is None:
             prev = np.zeros(n_c, dtype=np.float64)
+        base = (1.0 - alpha) / n_vertices + alpha * dm / n_vertices
         new = base + alpha * sums
         diff = np.abs(new - prev)
         od = np.asarray(vtx["out_deg"])

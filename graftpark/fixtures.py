@@ -106,6 +106,28 @@ def powerlaw_edges_pdf(
     return pdf.head(n_edges).reset_index(drop=True)
 
 
+def dorogovtsev_mendes(n: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Seeded Dorogovtsev–Mendes planar growth model: each new vertex
+    attaches to both endpoints of a uniformly random existing edge
+    (reference benchmark family, benchmark/benchmarks.jl:82-87)."""
+    if n < 3:
+        return [(u, v) for u in range(1, n + 1) for v in range(u + 1, n + 1)]
+    rng = random.Random(seed)
+    edges: list[tuple[int, int]] = [(1, 2), (1, 3), (2, 3)]
+    for new in range(4, n + 1):
+        u, v = edges[rng.randrange(len(edges))]
+        edges.append((u, new))
+        edges.append((v, new))
+    return edges
+
+
+def binary_tree(depth: int) -> list[tuple[int, int]]:
+    """Complete binary tree of ``depth`` levels, 1-indexed heap layout
+    (reference benchmark family, benchmark/benchmarks.jl:96-98)."""
+    n = 2**depth - 1
+    return [(k // 2, k) for k in range(2, n + 1)]
+
+
 def star_graph(n: int) -> list[tuple[int, int]]:
     """Max-skew hub fixture (benchmark/benchmarks.jl:100-104)."""
     return [(1, k) for k in range(2, n + 1)]

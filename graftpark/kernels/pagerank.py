@@ -37,6 +37,7 @@ def pagerank(
     broadcast_state: bool | None = None,
     strategy: str = "auto",
     block_dir: str | None = None,
+    steps_per_job: int = 1,
 ) -> LoopResult:
     """Ranks sum to 1 over the full vertex set (isolated vertices included).
 
@@ -64,7 +65,7 @@ def pagerank(
     if strategy == "packed":
         return _pagerank_packed(
             graph, n, alpha, tol, max_supersteps, checkpoint_dir, checkpoint_every,
-            resume, n_part, block_dir,
+            resume, n_part, block_dir, steps_per_job,
         )
     use_bc = choose_strategy(n, broadcast_state)
     graph.persist_for_iteration(n_part, key=None if use_bc else "src", sym=False)
@@ -375,6 +376,7 @@ def _pagerank_packed(
     resume: bool,
     n_part: int,
     block_dir: str | None,
+    steps_per_job: int = 1,
 ) -> LoopResult:
     """Packed-message CSR strategy — the at-scale execution path.
 
@@ -450,32 +452,36 @@ def _pagerank_packed(
         def load(self, spark, superstep: int) -> DataFrame:
             return pack_df(super().load(spark, superstep))
 
+    k = max(1, steps_per_job)
     checkpointer = (
-        PackedCheckpointer(checkpoint_dir, every=checkpoint_every) if checkpoint_dir else None
+        PackedCheckpointer(checkpoint_dir, every=max(1, checkpoint_every // k))
+        if checkpoint_dir
+        else None
     )
     init = pack_df(vdf.select("id", F.lit(1.0 / n).alias("rank")))
     start, initial_metrics, state0 = 1, None, init
-    dangling = {"mass": n_dangling / n}
     if resume and checkpointer is not None:
         rp = resume_point(checkpointer, spark)
         if rp is not None:
             state0, last, initial_metrics = rp
             start = last + 1
-            dangling["mass"] = initial_metrics[-1]["dangling_mass"] if initial_metrics else 0.0
+
+    # superstep-independent UDFs: the damping base is derived inside the
+    # reduce from the dangling-mass broadcast rows, so ``k`` supersteps
+    # chain into ONE query (one driver roundtrip, one lineage truncation)
+    gather = packed_gather_fn(block_dir, n_part)
+    finish = packed_finish_fn(block_dir, n_part, n, alpha, tol / n)
+    msg_schema = "bucket int, src_bucket int, payload binary"
+
+    def one_superstep(state: DataFrame) -> DataFrame:
+        msgs = state.mapInPandas(gather, schema=msg_schema)
+        return msgs.groupBy("bucket").applyInPandas(finish, schema=_PACKED_SCHEMA)
 
     def step(state: DataFrame, i: int) -> DataFrame:
-        base = (1.0 - alpha) / n + alpha * dangling["mass"] / n
-        # the gather UDF passes the state payload through (src_bucket=-1)
-        # alongside the partial-sum messages, so one narrow stage feeds
-        # the single bucket-keyed shuffle of the superstep
-        msgs = state.mapInPandas(
-            packed_gather_fn(block_dir, n_part),
-            schema="bucket int, src_bucket int, payload binary",
-        )
-        return msgs.groupBy("bucket").applyInPandas(
-            packed_finish_fn(block_dir, n_part, base, alpha, tol / n),
-            schema=_PACKED_SCHEMA,
-        )
+        out = state
+        for _ in range(k):
+            out = one_superstep(out)
+        return out
 
     def observe_cols() -> dict:
         return {
@@ -485,30 +491,48 @@ def _pagerank_packed(
         }
 
     def stats(observed: dict, prev: DataFrame, i: int) -> dict:
-        dangling["mass"] = observed["dm"] or 0.0
         return {
             "delta": float(observed["delta"]),
             "active": int(observed["active"]),
-            "dangling_mass": dangling["mass"],
+            "dangling_mass": float(observed["dm"] or 0.0),
+            "supersteps_in_job": k,
         }
 
+    n_jobs = -(-max_supersteps // k)
     with _superstep_confs(spark):
         res = iterate(
             state0,
             step,
             stats,
             converged_fn=lambda rec: rec["delta"] < tol,
-            max_supersteps=max_supersteps,
+            max_supersteps=n_jobs,
             checkpointer=checkpointer,
             start_superstep=start,
             initial_metrics=initial_metrics,
             observe_cols=observe_cols,
         )
     vdf.unpersist()
+    if k > 1:
+        # normalize job-level metrics to per-superstep records (delta /
+        # dangling reflect the job's LAST superstep; walls are amortized)
+        metrics = []
+        for rec in res.metrics:
+            kk = rec.get("supersteps_in_job", k)
+            for j in range(kk):
+                metrics.append(
+                    {
+                        "superstep": (rec["superstep"] - 1) * kk + j + 1,
+                        "wall_s": rec["wall_s"] / kk,
+                        **({"delta": rec["delta"], "active": rec["active"],
+                            "dangling_mass": rec["dangling_mass"]} if j == kk - 1 else {}),
+                    }
+                )
+    else:
+        metrics = res.metrics
     return LoopResult(
         state=expand_df(res.state),
-        metrics=res.metrics,
-        supersteps=res.supersteps,
+        metrics=metrics,
+        supersteps=res.supersteps * k,
         converged=res.converged,
     )
 
