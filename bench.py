@@ -57,14 +57,15 @@ def make_powerlaw_graph(spark, n_edges: int, n_vertices: int, seed: int = 42):
     from graftpark.fixtures import powerlaw_edges_pdf
     from graftpark.graph import Graph
 
-    cache = f"/tmp/graftpark-bench-pl-{n_edges}-{n_vertices}-{seed}"
+    root = f"/tmp/graftpark-bench-pl-{n_edges}-{n_vertices}-{seed}"
+    cache = os.path.join(root, "input")  # keep block dirs OUT of the parquet dir
     if not os.path.exists(os.path.join(cache, "_OK")):
         pdf = powerlaw_edges_pdf(n_edges, n_vertices, seed=seed)
         os.makedirs(cache, exist_ok=True)
         pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
                        os.path.join(cache, "edges.parquet"), row_group_size=1_000_000)
         open(os.path.join(cache, "_OK"), "w").close()
-    return Graph(spark.read.parquet(cache), assume_normalized=True), cache
+    return Graph(spark.read.parquet(cache), assume_normalized=True), root
 
 
 def main() -> None:
@@ -139,7 +140,8 @@ def main() -> None:
     # warm-up builds blocks/sidecar/positions (setup, untimed)
     pagerank(g_pl, tol=0.0, max_supersteps=1, strategy="packed", block_dir=block_dir)
     t0 = time.monotonic()
-    res = pagerank(g_pl, tol=1e-6, max_supersteps=60, strategy="packed", block_dir=block_dir)
+    res = pagerank(g_pl, tol=1e-6, max_supersteps=60, strategy="packed", block_dir=block_dir,
+                   steps_per_job=4)
     queries["pagerank_packed_pl"] = time.monotonic() - t0
     supersteps["pagerank_packed_pl"] = res.supersteps
     pl_walls = [m["wall_s"] for m in res.metrics]
