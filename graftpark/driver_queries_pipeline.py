@@ -134,6 +134,28 @@ def q_audio_features(spark, sf_dir):
     return audio_features(attach_blobs(_docs(spark, sf_dir), content="text"))
 
 
+
+
+def q_minhash_near_dups(spark, sf_dir):
+    """MinHash+LSH near-dup detection end-to-end: shingle → minhash →
+    band → bucket self-join → signature-agreement filter."""
+    from graftpark.pipeline.dedup import minhash_near_dups
+
+    out = minhash_near_dups(_docs(spark, sf_dir), num_hashes=8, bands=4, threshold=0.5)
+    return out.select("a", "b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram-shingle Jaccard over the LSH candidate pairs (the
+    verify stage of near-dup dedup)."""
+    from graftpark.pipeline.dedup import lsh_candidate_pairs, minhash_signatures, ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    cand = lsh_candidate_pairs(minhash_signatures(docs, num_hashes=8), bands=4)
+    out = ngram_jaccard_pairs(docs, cand)
+    return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
 PIPELINE_ORACLE_SQL: dict[str, str] = {
     "dedup_exact": """
 SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
@@ -207,6 +229,61 @@ SELECT doc_id,
        CAST(SUM(CASE WHEN sv > 0 THEN (SELECT arr FROM p2)[CAST(b AS INT) + 1] ELSE 0 END) AS BIGINT) AS simhash
 FROM s GROUP BY doc_id
 """,
+    "minhash_near_dups": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh0 AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 3
+                THEN list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' '))
+                ELSE []::VARCHAR[] END) AS shingle
+  FROM t),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+seeds AS (SELECT unnest(generate_series(0, 7)) AS h),
+sig AS (SELECT doc_id, h, MIN(md5(CAST(h AS VARCHAR) || '|' || shingle)) AS minhash
+        FROM sh CROSS JOIN seeds GROUP BY doc_id, h),
+banded AS (
+  SELECT doc_id, CAST(h % 4 AS INT) AS band,
+         md5(array_to_string(list_sort(list(CAST(h AS VARCHAR) || ':' || minhash)), '|')) AS band_key
+  FROM sig GROUP BY doc_id, CAST(h % 4 AS INT)),
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         FROM banded x JOIN banded y ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+agree AS (
+  SELECT c.a, c.b,
+         SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS est
+  FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b AND sb.h = sa.h
+  GROUP BY c.a, c.b)
+SELECT a, b, ROUND(est, 6) AS est_jaccard FROM agree WHERE est >= 0.5
+""",
+    "ngram_jaccard": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh0 AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 3
+                THEN list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' '))
+                ELSE []::VARCHAR[] END) AS shingle
+  FROM t),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+seeds AS (SELECT unnest(generate_series(0, 7)) AS h),
+sig AS (SELECT doc_id, h, MIN(md5(CAST(h AS VARCHAR) || '|' || shingle)) AS minhash
+        FROM sh CROSS JOIN seeds GROUP BY doc_id, h),
+banded AS (
+  SELECT doc_id, CAST(h % 4 AS INT) AS band,
+         md5(array_to_string(list_sort(list(CAST(h AS VARCHAR) || ':' || minhash)), '|')) AS band_key
+  FROM sig GROUP BY doc_id, CAST(h % 4 AS INT)),
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         FROM banded x JOIN banded y ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, COUNT(*) AS i
+  FROM cand c JOIN sh x ON x.doc_id = c.a JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
+  GROUP BY c.a, c.b)
+SELECT c.a, c.b,
+       ROUND(COALESCE(i.i, 0) * 1.0 / (na.n + nb.n - COALESCE(i.i, 0)), 6) AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+JOIN sizes na ON na.doc_id = c.a
+JOIN sizes nb ON nb.doc_id = c.b
+""",
     "multimodal_meta": """
 SELECT doc_id,
        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
@@ -236,6 +313,8 @@ PIPELINE_QUERIES = {
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "minhash_sig": q_minhash_sig,
+    "minhash_near_dups": q_minhash_near_dups,
+    "ngram_jaccard": q_ngram_jaccard,
     "simhash": q_simhash,
     "cosine_topk": q_cosine_topk,
     "embedding_norms": q_embedding_norms,
