@@ -39,17 +39,45 @@ reference; tests assert both strategies agree.
 
 from __future__ import annotations
 
+import json
 import os
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-#: worker-process block cache: (block_dir, bucket) -> dict of np arrays.
-#: Lives in the Python worker across tasks/supersteps (worker reuse).
+#: worker-process block cache: (block_dir, token, bucket) -> dict of np
+#: arrays. Lives in the Python worker across tasks/supersteps (worker
+#: reuse); the generation ``token`` (from meta.json) invalidates stale
+#: entries when a block_dir is rebuilt in place.
 _BLOCK_CACHE: dict = {}
 #: cached per-(block, state-id-layout) gather positions
 _POS_CACHE: dict = {}
+#: per-path meta.json cache: path -> (mtime_ns, meta dict)
+_META_CACHE: dict = {}
+
+
+def _read_meta(block_dir: str) -> dict | None:
+    """Read + cache meta.json, re-reading whenever its mtime changes —
+    so a rebuilt block_dir invalidates every worker-side cache keyed on
+    the generation token, with one os.stat per task."""
+    path = os.path.join(block_dir, "meta.json")
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        return None
+    cached = _META_CACHE.get(block_dir)
+    if cached is not None and cached[0] == mtime:
+        return cached[1]
+    with open(path) as f:
+        meta = json.load(f)
+    _META_CACHE[block_dir] = (mtime, meta)
+    return meta
+
+
+def _block_token(block_dir: str) -> str | None:
+    meta = _read_meta(block_dir)
+    return meta["token"] if meta else None
 
 _TRACE = os.environ.get("GRAFTPARK_UDF_TRACE", "")
 
@@ -62,12 +90,19 @@ def _trace(tag: str, t0: float, **kw) -> None:
             f.write(f"{tag} pid={os.getpid()} dt={time.perf_counter()-t0:.3f} {kw}\n")
 
 
-def write_edge_blocks(edges: DataFrame, num_buckets: int, path: str) -> str:
+def write_edge_blocks(edges: DataFrame, num_buckets: int, path: str, sym: bool = False) -> str:
     """Bucket the edge table by src and write one parquet dir per bucket.
 
     Columns written: (src, dst, dst_bucket); directory key = src_bucket.
     Done ONCE per graph; every superstep reads only worker-cached blocks.
+
+    A ``meta.json`` records (num_buckets, n_edges, sym, generation token)
+    so a later call can detect a mismatched reuse of the directory
+    (different bucket count, directed vs symmetrized edges, changed
+    source graph) instead of silently dropping/misrouting edges.
     """
+    import uuid
+
     b = (
         edges.select(
             "src",
@@ -81,7 +116,40 @@ def write_edge_blocks(edges: DataFrame, num_buckets: int, path: str) -> str:
         .sortWithinPartitions("dst")
     )
     b.write.partitionBy("src_bucket").mode("overwrite").parquet(path)
+    # metadata-only count of the parquet just written (no data scan)
+    n_edges = edges.sparkSession.read.parquet(path).count()
+    meta = {
+        "num_buckets": int(num_buckets),
+        "n_edges": int(n_edges),
+        "sym": bool(sym),
+        "token": uuid.uuid4().hex,
+    }
+    tmp = os.path.join(path, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "meta.json"))
     return path
+
+
+def ensure_edge_blocks(edges: DataFrame, num_buckets: int, path: str, sym: bool = False) -> str:
+    """Build the block directory unless a COMPLETE, MATCHING one exists.
+
+    Reuse requires: `_SUCCESS` marker (a crashed partial write never
+    passes), meta.json present, and (num_buckets, sym, edge count) all
+    matching the requested build — otherwise the directory is rebuilt
+    in place with a fresh generation token (which invalidates worker
+    caches). The edge-count probe is one metadata/cached-count job,
+    negligible next to the superstep loop it protects.
+    """
+    meta = _read_meta(path) if os.path.exists(os.path.join(path, "_SUCCESS")) else None
+    if (
+        meta is not None
+        and meta.get("num_buckets") == int(num_buckets)
+        and meta.get("sym") == bool(sym)
+        and meta.get("n_edges") == edges.count()
+    ):
+        return path
+    return write_edge_blocks(edges, num_buckets, path, sym=sym)
 
 
 def bucket_col(col: str, num_buckets: int):
@@ -141,7 +209,7 @@ def load_block(block_dir: str, bucket: int) -> dict | None:
     Python worker on the host shares ONE page-cache copy, so a "load"
     after the first is just an mmap open, not a read+sort.
     """
-    key = (block_dir, bucket)
+    key = (block_dir, _block_token(block_dir), bucket)
     if key in _BLOCK_CACHE:
         return _BLOCK_CACHE[key]
     part = os.path.join(block_dir, f"src_bucket={bucket}")
@@ -173,13 +241,26 @@ def _state_layout(pdf: pd.DataFrame):
 
 
 def _src_positions(block_dir: str, bucket: int, blk: dict, ids_sorted, fp):
-    """Per-edge gather positions into the sorted state vector, cached."""
-    key = (block_dir, bucket)
+    """Per-edge gather positions into the sorted state vector, cached.
+
+    Validated on first build: every edge src must exist in the state
+    group — a state vector that doesn't cover all edge endpoints would
+    otherwise silently alias a neighboring vertex's value.
+    """
+    key = (block_dir, _block_token(block_dir), bucket)
     cached = _POS_CACHE.get(key)
     if cached is not None and cached[0] == fp:
         return cached[1]
-    pos = np.searchsorted(ids_sorted, blk["src_by_dst"]).astype(np.int32)
-    np.clip(pos, 0, max(0, len(ids_sorted) - 1), out=pos)
+    pos = np.searchsorted(ids_sorted, blk["src_by_dst"])
+    n = len(ids_sorted)
+    src = np.asarray(blk["src_by_dst"])
+    if n == 0 or np.any(pos >= n) or not np.array_equal(ids_sorted[np.minimum(pos, n - 1)], src):
+        raise ValueError(
+            f"edge block {block_dir!r} bucket {bucket} references source vertices "
+            "absent from the vertex state — the supplied vertices DataFrame must "
+            "cover every edge endpoint"
+        )
+    pos = pos.astype(np.int32)
     _POS_CACHE[key] = (fp, pos)
     return pos
 
@@ -225,7 +306,7 @@ def gather_scatter_fn(block_dir: str, value_expr, reduce_op: str):
 
 def _group_idx(block_dir: str, bucket: int, blk: dict) -> np.ndarray:
     """Per-edge destination-group index (cached per worker)."""
-    key = ("gi", block_dir, bucket)
+    key = ("gi", block_dir, _block_token(block_dir), bucket)
     gi = _BLOCK_CACHE.get(key)
     if gi is None:
         counts = np.diff(np.append(blk["starts"], blk["n_edges"]))
@@ -342,7 +423,7 @@ def vertex_sidecar_writer(block_dir: str):
 
 def load_vertices(block_dir: str, bucket: int) -> dict | None:
     """Worker-side: mmap-open one bucket's static vertex sidecar."""
-    key = ("v", block_dir, bucket)
+    key = ("v", block_dir, _block_token(block_dir), bucket)
     if key in _BLOCK_CACHE:
         return _BLOCK_CACHE[key]
     vdir = os.path.join(block_dir, "_vertices", f"bucket={bucket}")
@@ -361,7 +442,7 @@ def _static_positions(block_dir: str, bucket: int, blk: dict) -> np.ndarray:
     Valid for the packed strategy only, where the state layout IS the
     sidecar (sorted ids) by construction.
     """
-    key = ("spos", block_dir, bucket)
+    key = ("spos", block_dir, _block_token(block_dir), bucket)
     pos = _BLOCK_CACHE.get(key)
     if pos is None:
         import tempfile
@@ -370,8 +451,15 @@ def _static_positions(block_dir: str, bucket: int, blk: dict) -> np.ndarray:
         path = os.path.join(npy_dir, "positions.npy")
         if not os.path.exists(path):
             vtx = load_vertices(block_dir, bucket)
-            p = np.searchsorted(np.asarray(vtx["ids"]), np.asarray(blk["src_by_dst"]))
-            if len(vtx["ids"]) >= 2**31:
+            ids = np.asarray(vtx["ids"])
+            src = np.asarray(blk["src_by_dst"])
+            p = np.searchsorted(ids, src)
+            if len(ids) == 0 or np.any(p >= len(ids)) or not np.array_equal(ids[np.minimum(p, len(ids) - 1)], src):
+                raise ValueError(
+                    f"vertex sidecar of {block_dir!r} bucket {bucket} does not cover "
+                    "every edge source — mismatched block directory reuse"
+                )
+            if len(ids) >= 2**31:
                 raise ValueError("bucket too large for int32 positions")
             fd, tmp = tempfile.mkstemp(dir=npy_dir, suffix=".npy")
             os.close(fd)
@@ -407,7 +495,7 @@ def _gather_layout(block_dir: str, bucket: int, blk: dict, num_buckets: int) -> 
     contiguous; ``offsets[c]:offsets[c+1]`` slices bucket c's segment.
     Built once, mmap-shared (a per-worker copy at 10^8-edge scale costs
     GBs per worker and evicts the page cache)."""
-    key = ("glay", block_dir, bucket)
+    key = ("glay", block_dir, _block_token(block_dir), bucket)
     lay = _BLOCK_CACHE.get(key)
     if lay is None:
         d = os.path.join(block_dir, "_npy", f"bucket={bucket}")
@@ -429,7 +517,7 @@ def _finish_layout(block_dir: str, dst_bucket: int, num_buckets: int) -> dict:
     messages: ``pos[offsets[b]:offsets[b+1]]`` are the positions (into
     the bucket's sorted vertex vector) of src-bucket b's payload values.
     Built once by the first finish task to touch the bucket; mmap-shared."""
-    key = ("flay", block_dir, dst_bucket)
+    key = ("flay", block_dir, _block_token(block_dir), dst_bucket)
     lay = _BLOCK_CACHE.get(key)
     if lay is None:
         parent = os.path.join(block_dir, "_finish")
@@ -618,7 +706,10 @@ def combine_sums(partials: pd.DataFrame, state_pdf: pd.DataFrame) -> np.ndarray:
     ids_sorted = ids[order]
     sums_sorted = np.zeros(n, dtype=np.float64)
     if len(partials):
-        pos = np.searchsorted(ids_sorted, partials["dst"].to_numpy())
+        dst = partials["dst"].to_numpy()
+        pos = np.searchsorted(ids_sorted, dst)
+        if n == 0 or np.any(pos >= n) or not np.array_equal(ids_sorted[np.minimum(pos, n - 1)], dst):
+            raise ValueError("partial aggregate addressed a vertex absent from the state group")
         sums_sorted = np.bincount(pos, weights=partials["v"].to_numpy(), minlength=n)[:n]
     sums = np.empty(n, dtype=np.float64)
     sums[order] = sums_sorted
@@ -633,7 +724,10 @@ def combine_min(partials: pd.DataFrame, state_pdf: pd.DataFrame, own: np.ndarray
     ids_sorted = ids[order]
     merged_sorted = np.asarray(own)[order].copy()
     if len(partials):
-        pos = np.searchsorted(ids_sorted, partials["dst"].to_numpy())
+        dst = partials["dst"].to_numpy()
+        pos = np.searchsorted(ids_sorted, dst)
+        if n == 0 or np.any(pos >= n) or not np.array_equal(ids_sorted[np.minimum(pos, n - 1)], dst):
+            raise ValueError("partial minimum addressed a vertex absent from the state group")
         np.minimum.at(merged_sorted, pos, partials["v"].to_numpy())
     merged = np.empty(n, dtype=merged_sorted.dtype)
     merged[order] = merged_sorted

@@ -35,7 +35,10 @@ def label_propagation(
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     n = graph.num_vertices()
     if strategy == "auto":
-        strategy = "csr" if not choose_strategy(n, broadcast_state) else "dataframe"
+        # csr block dirs default to driver-local tmp — only auto-pick csr
+        # on a local master or with an explicit (shared-storage) block_dir
+        blocks_ok = spark.sparkContext.master.startswith("local") or block_dir is not None
+        strategy = "csr" if (not choose_strategy(n, broadcast_state) and blocks_ok) else "dataframe"
     if strategy == "csr":
         return _lp_csr(
             graph, max_supersteps, checkpoint_dir, checkpoint_every, resume, n_part, block_dir
@@ -134,16 +137,15 @@ def _lp_csr(
     """
     import tempfile
 
-    from graftpark.blocks import bucket_col, combine_mode, mode_gather_fn, write_edge_blocks
+    from graftpark.blocks import bucket_col, combine_mode, ensure_edge_blocks, mode_gather_fn
     from graftpark.kernels.pagerank import _superstep_confs
 
     spark = graph.spark
     if block_dir is None:
         block_dir = tempfile.mkdtemp(prefix="graftpark-blocks-sym-")
-    import os
-
-    if not os.path.isdir(os.path.join(block_dir, "src_bucket=0")):
-        write_edge_blocks(graph.edges_sym(), n_part, block_dir)
+    # complete-and-matching check (see components._cc_csr): crashed partial
+    # writes and directed-vs-symmetrized block_dir mixups rebuild loudly
+    ensure_edge_blocks(graph.edges_sym(), n_part, block_dir, sym=True)
 
     init = (
         graph.vertices()

@@ -56,7 +56,13 @@ def pagerank(
     if n == 0:
         return LoopResult(state=spark.createDataFrame([], "id LONG, rank DOUBLE"), converged=True)
     if strategy == "auto":
-        strategy = "packed" if not choose_strategy(n, broadcast_state) else "dataframe"
+        # csr/packed block dirs default to driver-local tmp; on a
+        # multi-node master that path is not shared storage, so auto only
+        # picks them when running locally or when the caller supplies an
+        # explicit (shared) block_dir
+        blocks_ok = spark.sparkContext.master.startswith("local") or block_dir is not None
+        big = not choose_strategy(n, broadcast_state)
+        strategy = "packed" if (big and blocks_ok) else "dataframe"
     if strategy == "csr":
         return _pagerank_csr(
             graph, n, alpha, tol, max_supersteps, checkpoint_dir, checkpoint_every,
@@ -95,11 +101,15 @@ def pagerank(
         if rp is not None:
             state0, last, initial_metrics = rp
             start = last + 1
-            dangling["mass"] = initial_metrics[-1]["dangling_mass"] if initial_metrics else 0.0
-    if start == 1:
+    if start == 1 or not initial_metrics:
+        # fresh start, or resume without a surviving metrics record:
+        # recompute dangling mass from the state itself (a 0.0 default
+        # would silently converge to wrong ranks)
         dangling["mass"] = (
-            init.where(F.col("out_deg") == 0).agg(F.sum("rank")).collect()[0][0] or 0.0
+            state0.where(F.col("out_deg") == 0).agg(F.sum("rank")).collect()[0][0] or 0.0
         )
+    else:
+        dangling["mass"] = initial_metrics[-1]["dangling_mass"]
 
     def step(state: DataFrame, i: int) -> DataFrame:
         # single-shuffle superstep: edge contributions UNION one carrier row
@@ -232,15 +242,12 @@ def _pagerank_csr(
     import tempfile
 
     from graftpark import blocks as B
-    from graftpark.blocks import bucket_col, combine_sums, gather_scatter_fn, write_edge_blocks
+    from graftpark.blocks import bucket_col, combine_sums, ensure_edge_blocks, gather_scatter_fn
 
     spark = graph.spark
     if block_dir is None:
         block_dir = tempfile.mkdtemp(prefix="graftpark-blocks-")
-    import os
-
-    if not os.path.exists(os.path.join(block_dir, "_SUCCESS")):
-        write_edge_blocks(graph.edges, n_part, block_dir)
+    ensure_edge_blocks(graph.edges, n_part, block_dir, sym=False)
 
     out_deg = graph.edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_deg"))
     init = (
@@ -264,11 +271,14 @@ def _pagerank_csr(
         if rp is not None:
             state0, last, initial_metrics = rp
             start = last + 1
-            dangling["mass"] = initial_metrics[-1]["dangling_mass"] if initial_metrics else 0.0
-    if start == 1:
+    if start == 1 or not initial_metrics:
+        # fresh start, or resume whose metrics.jsonl is missing/truncated:
+        # derive dangling mass from the actual state, never default to 0
         dangling["mass"] = (
-            init.where(F.col("out_deg") == 0).agg(F.sum("rank")).collect()[0][0] or 0.0
+            state0.where(F.col("out_deg") == 0).agg(F.sum("rank")).collect()[0][0] or 0.0
         )
+    else:
+        dangling["mass"] = initial_metrics[-1]["dangling_mass"]
 
     def contrib_values(pdf_sorted):
         import numpy as np
@@ -401,19 +411,18 @@ def _pagerank_packed(
 
     from graftpark.blocks import (
         bucket_col,
+        ensure_edge_blocks,
         pack_fn,
         packed_expand_fn,
         packed_finish_fn,
         packed_gather_fn,
         vertex_sidecar_writer,
-        write_edge_blocks,
     )
 
     spark = graph.spark
     if block_dir is None:
         block_dir = tempfile.mkdtemp(prefix="graftpark-blocks-")
-    if not os.path.exists(os.path.join(block_dir, "_SUCCESS")):
-        write_edge_blocks(graph.edges, n_part, block_dir)
+    ensure_edge_blocks(graph.edges, n_part, block_dir, sym=False)
 
     out_deg = graph.edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_deg"))
     vdf = (

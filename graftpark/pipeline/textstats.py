@@ -62,8 +62,8 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
         hits = F.size(F.filter(toks, lambda t: F.array_contains(words, t)))
         cand = F.struct(hits.alias("hits"), F.lit(lang).alias("lang"))
-        # max(struct) picks higher hits; on ties the LARGER lang code wins,
-        # so iterate with greatest() and reversed comparison for asc ties
+        # strict > keeps the earlier candidate on ties — languages iterate
+        # in sorted order, so the SMALLEST lang code wins a tie
         best = cand if best is None else F.when(
             (cand["hits"] > best["hits"]), cand
         ).otherwise(best)

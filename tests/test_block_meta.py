@@ -1,0 +1,68 @@
+"""Block-directory metadata validation: a reused block_dir must match
+the requested build (bucket count, directed vs symmetrized edges,
+source graph) or be rebuilt — silent mismatched reuse previously
+dropped/misrouted edges.
+"""
+
+import json
+import os
+
+from graftpark.blocks import ensure_edge_blocks
+from graftpark.fixtures import G6_TWO_COMP, G30_HUB
+from graftpark.graph import Graph
+from graftpark.kernels.components import connected_components
+from graftpark.kernels.pagerank import pagerank
+
+
+def _token(block_dir):
+    with open(os.path.join(block_dir, "meta.json")) as f:
+        return json.load(f)["token"]
+
+
+def test_ensure_rebuilds_on_bucket_count_change(spark, tmp_path):
+    n, directed, edges = G30_HUB
+    g = Graph.from_edge_list(spark, edges, n=n, directed=directed)
+    d = str(tmp_path / "blk")
+    ensure_edge_blocks(g.edges, 4, d)
+    t1 = _token(d)
+    ensure_edge_blocks(g.edges, 4, d)
+    assert _token(d) == t1  # matching reuse: no rebuild
+    ensure_edge_blocks(g.edges, 2, d)
+    assert _token(d) != t1  # bucket-count mismatch: rebuilt
+    assert len([p for p in os.listdir(d) if p.startswith("src_bucket=")]) == 2
+
+
+def test_ensure_rebuilds_on_sym_mismatch_and_graph_change(spark, tmp_path):
+    n, directed, edges = G6_TWO_COMP
+    g = Graph.from_edge_list(spark, edges, n=n, directed=directed)
+    d = str(tmp_path / "blk")
+    ensure_edge_blocks(g.edges, 4, d, sym=False)
+    t1 = _token(d)
+    ensure_edge_blocks(g.edges_sym(), 4, d, sym=True)
+    assert _token(d) != t1  # directed dir reused for symmetrized build: rebuilt
+    t2 = _token(d)
+    g2 = Graph.from_edge_list(spark, edges[:-1], n=n, directed=directed)
+    ensure_edge_blocks(g2.edges_sym(), 4, d, sym=True)
+    assert _token(d) != t2  # same shape, different edge count: rebuilt
+
+
+def test_ensure_rebuilds_partial_write(spark, tmp_path):
+    n, directed, edges = G30_HUB
+    g = Graph.from_edge_list(spark, edges, n=n, directed=directed)
+    d = tmp_path / "blk"
+    (d / "src_bucket=0").mkdir(parents=True)  # crashed write: no _SUCCESS
+    ensure_edge_blocks(g.edges, 4, str(d))
+    assert os.path.exists(d / "_SUCCESS") and os.path.exists(d / "meta.json")
+
+
+def test_shared_block_dir_across_kernels_is_safe(spark, tmp_path):
+    """pagerank(csr) writes DIRECTED blocks; cc(csr) pointed at the same
+    dir needs symmetrized ones — the meta check forces a rebuild and the
+    result matches the dataframe formulation."""
+    n, directed, edges = G30_HUB
+    g = Graph.from_edge_list(spark, edges, n=n, directed=directed)
+    d = str(tmp_path / "blk")
+    pagerank(g, strategy="csr", max_supersteps=5, block_dir=d)
+    a = {r["id"]: r["comp"] for r in connected_components(g, strategy="csr", block_dir=d).state.collect()}
+    b = {r["id"]: r["comp"] for r in connected_components(g, strategy="dataframe").state.collect()}
+    assert a == b
