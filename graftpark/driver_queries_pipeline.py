@@ -121,17 +121,31 @@ def q_multimodal_meta(spark, sf_dir):
 
 
 def q_image_features(spark, sf_dir):
-    """Arrow-batched decode + feature pass (deterministic fake decoder;
-    no SQL oracle — driver records the rows-only check)."""
+    """Arrow-batched decode + feature pass. The fake decoder is
+    deterministic byte arithmetic (tile payload bytes to width×height),
+    so the features are fully reproducible in the DuckDB oracle."""
     from graftpark.pipeline.multimodal import attach_blobs, image_features
 
-    return image_features(attach_blobs(_docs(spark, sf_dir), content="text"))
+    out = image_features(attach_blobs(_docs(spark, sf_dir), content="text"))
+    return out.select(
+        "doc_id", "n_bytes",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+        F.round("p95_pixel", 6).alias("p95_pixel"),
+        "width", "height",
+    )
 
 
 def q_audio_features(spark, sf_dir):
+    """Fake audio decode = payload bytes as little-endian int16 — exactly
+    reproducible in SQL."""
     from graftpark.pipeline.multimodal import attach_blobs, audio_features
 
-    return audio_features(attach_blobs(_docs(spark, sf_dir), content="text"))
+    out = audio_features(attach_blobs(_docs(spark, sf_dir), content="text"))
+    return out.select(
+        "doc_id", "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+    )
 
 
 
@@ -290,6 +304,60 @@ SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        sha256(text) AS sha256
 FROM documents
+""",
+    # fake image decode: payload bytes tiled to width*height (multimodal.py
+    # _decode_pixels); mean over the tiled pixels, p95 via quantile_cont
+    # (linear interpolation — numpy's np.percentile default)
+    "image_features": """
+WITH img AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n,
+         CAST(octet_length(encode(text)) % 64 + 16 AS INT) AS width,
+         CAST(octet_length(encode(text)) % 48 + 16 AS INT) AS height
+  FROM documents WHERE doc_id % 3 = 0),
+b AS (
+  SELECT doc_id, n, width, height, width * height AS need,
+         CASE WHEN n = 0 THEN [0]
+              ELSE list_transform(generate_series(1, n), i -> ('0x' || substr(hx, 2*i-1, 2))::INT)
+         END AS bytes
+  FROM img),
+tiled AS (
+  SELECT doc_id, n, width, height, need,
+         flatten(list_transform(generate_series(1, CAST(ceil(need / CAST(len(bytes) AS DOUBLE)) AS INT)),
+                                r -> bytes))[1:need] AS pxs
+  FROM b),
+ex AS (SELECT doc_id, n, width, height, unnest(pxs) AS p FROM tiled)
+SELECT doc_id,
+       CAST(any_value(n) AS BIGINT) AS n_bytes,
+       ROUND(AVG(p), 6) AS mean_pixel,
+       ROUND(quantile_cont(p, 0.95), 6) AS p95_pixel,
+       any_value(width) AS width,
+       any_value(height) AS height
+FROM ex GROUP BY doc_id
+""",
+    # fake audio decode: payload bytes as little-endian signed int16
+    # (multimodal.py _decode_samples); empty payload -> one zero sample
+    "audio_features": """
+WITH aud AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) // 2 AS ns
+  FROM documents WHERE doc_id % 3 = 1),
+s AS (
+  SELECT doc_id, GREATEST(ns, 1) AS n_samples,
+         CASE WHEN ns = 0 THEN [0.0]
+              ELSE list_transform(generate_series(1, ns),
+                     i -> CAST(CASE WHEN ('0x' || substr(hx, 4*i-1, 2))::INT >= 128
+                               THEN ('0x' || substr(hx, 4*i-3, 2))::INT + 256 * ('0x' || substr(hx, 4*i-1, 2))::INT - 65536
+                               ELSE ('0x' || substr(hx, 4*i-3, 2))::INT + 256 * ('0x' || substr(hx, 4*i-1, 2))::INT
+                               END AS DOUBLE))
+         END AS samples
+  FROM aud),
+ex AS (SELECT doc_id, n_samples, unnest(samples) AS v FROM s)
+SELECT doc_id,
+       CAST(any_value(n_samples) AS BIGINT) AS n_samples,
+       ROUND(any_value(n_samples) / 16000.0, 6) AS duration_s,
+       ROUND(sqrt(AVG(v * v)), 6) AS rms
+FROM ex GROUP BY doc_id
 """,
     "cosine_topk": f"""
 WITH q AS (SELECT {_qvec_literal()} AS qv)

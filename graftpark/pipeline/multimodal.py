@@ -97,27 +97,50 @@ def blob_meta(blobs: DataFrame) -> DataFrame:
     )
 
 
+_IMG_COLS = ["doc_id", "n_bytes", "mean_pixel", "p95_pixel", "width", "height"]
+
+
 def image_features(blobs: DataFrame) -> DataFrame:
     """(doc_id, n_bytes, mean_pixel, p95_pixel, width, height) via an
-    Arrow-batched decode → vectorized feature pass."""
+    Arrow-batched decode → vectorized feature pass.
+
+    The ``kind = 'image'`` filter runs BEFORE the UDF (pushed to the
+    scan — non-image payload bytes never ship through Arrow). Decode is
+    inherently per-item; the feature math (means via one
+    ``np.add.reduceat`` over the concatenated pixels) is vectorized
+    across the batch. p95 uses numpy's linear-interpolation percentile,
+    reproduced by DuckDB's ``quantile_cont`` in the oracle.
+    """
 
     def fn(batches):
         import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                if r.kind != "image":
-                    continue
-                px = _decode_pixels(r.data, int(r.width), int(r.height))
-                rows.append((r.doc_id, len(r.data), float(px.mean()),
-                             float(np.percentile(px, 95)), int(r.width), int(r.height)))
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=_IMG_COLS)
+                continue
+            arrays = [
+                _decode_pixels(r.data, int(r.width), int(r.height))
+                for r in pdf.itertuples(index=False)
+            ]
+            lens = np.asarray([a.size for a in arrays], dtype=np.int64)
+            flat = np.concatenate([a.ravel() for a in arrays]).astype(np.float64)
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            means = np.add.reduceat(flat, starts) / lens
+            p95 = np.asarray([np.percentile(a, 95) for a in arrays])
             yield pd.DataFrame(
-                rows, columns=["doc_id", "n_bytes", "mean_pixel", "p95_pixel", "width", "height"]
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "n_bytes": pdf["data"].map(len).to_numpy(dtype=np.int64),
+                    "mean_pixel": means,
+                    "p95_pixel": p95,
+                    "width": pdf["width"].to_numpy(),
+                    "height": pdf["height"].to_numpy(),
+                }
             )
 
-    return blobs.mapInPandas(
+    return blobs.where(F.col("kind") == "image").mapInPandas(
         fn,
         schema="doc_id long, n_bytes long, mean_pixel double, p95_pixel double, width int, height int",
     )
@@ -135,8 +158,6 @@ def resize_images(blobs: DataFrame, out_w: int, out_h: int) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                if r.kind != "image":
-                    continue
                 px = _decode_pixels(r.data, int(r.width), int(r.height))
                 yi = np.linspace(0, px.shape[0] - 1, out_h).round().astype(int)
                 xi = np.linspace(0, px.shape[1] - 1, out_w).round().astype(int)
@@ -144,29 +165,47 @@ def resize_images(blobs: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 rows.append((r.doc_id, "image", small.tobytes(), out_w, out_h))
             yield pd.DataFrame(rows, columns=["doc_id", "kind", "data", "width", "height"])
 
-    return blobs.mapInPandas(
+    return blobs.where(F.col("kind") == "image").mapInPandas(
         fn, schema="doc_id long, kind string, data binary, width int, height int"
     )
 
 
+_AUD_COLS = ["doc_id", "n_samples", "duration_s", "rms"]
+
+
 def audio_features(blobs: DataFrame) -> DataFrame:
-    """(doc_id, n_samples, duration_s, rms) from the decoded samples."""
+    """(doc_id, n_samples, duration_s, rms) from the decoded samples.
+
+    ``kind = 'audio'`` filter pushed before the UDF; RMS is one
+    ``np.add.reduceat`` over the concatenated squared samples.
+    """
 
     def fn(batches):
         import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                if r.kind != "audio":
-                    continue
-                s = _decode_samples(r.data, int(r.sample_rate)).astype(np.float64)
-                rows.append((r.doc_id, len(s), len(s) / float(r.sample_rate),
-                             float(np.sqrt(np.mean(s * s)))))
-            yield pd.DataFrame(rows, columns=["doc_id", "n_samples", "duration_s", "rms"])
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=_AUD_COLS)
+                continue
+            arrays = [
+                _decode_samples(r.data, int(r.sample_rate)).astype(np.float64)
+                for r in pdf.itertuples(index=False)
+            ]
+            lens = np.asarray([len(a) for a in arrays], dtype=np.int64)
+            flat = np.concatenate(arrays)
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            rms = np.sqrt(np.add.reduceat(flat * flat, starts) / lens)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "n_samples": lens,
+                    "duration_s": lens / pdf["sample_rate"].to_numpy(dtype=np.float64),
+                    "rms": rms,
+                }
+            )
 
-    return blobs.mapInPandas(
+    return blobs.where(F.col("kind") == "audio").mapInPandas(
         fn, schema="doc_id long, n_samples long, duration_s double, rms double"
     )
 
@@ -182,11 +221,11 @@ def sample_frames(blobs: DataFrame, every_n_bytes: int = 4096, max_frames: int =
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                if r.kind != "video":
-                    continue
                 data = r.data
                 for i in range(min(max_frames, max(1, len(data) // every_n_bytes))):
                     rows.append((r.doc_id, i, data[i * every_n_bytes:(i + 1) * every_n_bytes]))
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame"])
 
-    return blobs.mapInPandas(fn, schema="doc_id long, frame_idx int, frame binary")
+    return blobs.where(F.col("kind") == "video").mapInPandas(
+        fn, schema="doc_id long, frame_idx int, frame binary"
+    )
