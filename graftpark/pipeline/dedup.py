@@ -147,30 +147,37 @@ def ngram_jaccard_pairs(
 
 # ------------------------------------------------------------ simhash
 
-#: powers of two as literal lookup arrays (PySpark's shiftleft/shiftright
-#: take only literal shift amounts; element_at lookups keep everything
-#: codegen'd and ANSI-safe — bit 63 is the sign bit, stored as -(1<<63))
-def _pow2_array(n: int) -> F.Column:
-    vals = [1 << i for i in range(n)]
-    if n == 64:
-        vals[63] = -(1 << 63)
-    return F.array(*[F.lit(v).cast("long") for v in vals])
+def _bit_of_md5(b: int) -> F.Column:
+    """Bit ``b`` (0..63) of the first 64 bits of md5 hex in column th —
+    a pure codegen expression with LITERAL shift amounts."""
+    hexv = F.conv(F.substring(F.col("th"), b // 4 + 1, 1), 16, 10).cast("int")
+    return F.shiftright(hexv, 3 - b % 4).bitwiseAND(F.lit(1))
 
 
-def _simhash_bit_votes(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(doc_id, b, s) — per-bit vote sums: bit b of md5(token) votes ±1."""
+def _simhash_counts(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, nt, c0..c63) — per-doc token count and per-bit set-counts.
+
+    ONE aggregate over the token rows with 64 conditional-sum columns
+    (all whole-stage codegen, map-side partial aggregation): the shuffle
+    carries ~#docs rows × 65 longs, NOT 64×#tokens rows as the naive
+    per-bit explode would. Vote sum s_b = 2*c_b - nt, so bit b of the
+    signature is set iff 2*c_b > nt.
+    """
     toks = docs.select(F.col(id_col).alias("doc_id"), F.explode(_tokens(text_col)).alias("tok"))
     toks = toks.withColumn("th", F.md5("tok"))
-    bits = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
-        F.col("th"),
-    )
-    hexv = F.conv(F.substring(F.col("th"), (F.col("b") / 4).cast("int") + 1, 1), 16, 10).cast("int")
-    # bit (3 - b%4) of the hex digit, via integer divide (no dynamic shifts)
-    bit = (hexv / F.element_at(_pow2_array(4), (3 - F.col("b") % 4).cast("int") + 1)).cast("int") % 2
-    votes = bits.select("doc_id", "b", F.when(bit == 1, 1).otherwise(-1).alias("v"))
-    return votes.groupBy("doc_id", "b").agg(F.sum("v").alias("s"))
+    aggs = [F.sum(_bit_of_md5(b)).alias(f"c{b}") for b in range(64)]
+    return toks.groupBy("doc_id").agg(F.count("*").alias("nt"), *aggs)
+
+
+def _sig_from_counts() -> F.Column:
+    """The packed 64-bit signature column over (nt, c0..c63) columns."""
+    p2 = [1 << b for b in range(63)] + [-(1 << 63)]  # bit 63 = sign bit
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig + F.when(2 * F.col(f"c{b}") > F.col("nt"), F.lit(p2[b]).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -178,12 +185,11 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
     Bit b of md5(token) votes ±1; simhash bit b = 1 iff the sum of
     votes > 0. All codegen'd expressions, reproducible in the DuckDB
-    oracle."""
-    per_bit = _simhash_bit_votes(docs, id_col, text_col)
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.element_at(_pow2_array(64), F.col("b").cast("int") + 1)).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
+    oracle; the only shuffle is the per-doc 65-column aggregate
+    (map-side combined), never 64× the token count.
+    """
+    return _simhash_counts(docs, id_col, text_col).select(
+        "doc_id", _sig_from_counts().alias("simhash")
     )
 
 
@@ -194,21 +200,22 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
     Candidates join on 16-bit chunks (4 bands): any pair within Hamming
     3 must agree exactly on ≥1 chunk (pigeonhole), so the self-join is
     bucketed, never all-pairs."""
-    per_bit = _simhash_bit_votes(docs, id_col, text_col)
-    sig = per_bit.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.element_at(_pow2_array(64), F.col("b").cast("int") + 1)).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
+    counts = _simhash_counts(docs, id_col, text_col)
+    # chunk c's 16-bit value, derived from the same single aggregate
+    chunk_cols = []
+    for c in range(4):
+        v = F.lit(0).cast("long")
+        for j in range(16):
+            b = c * 16 + j
+            v = v + F.when(2 * F.col(f"c{b}") > F.col("nt"), F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        chunk_cols.append(v.alias(f"ck{c}"))
+    sig = counts.select("doc_id", _sig_from_counts().alias("simhash"), *chunk_cols)
+    chunks = sig.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*[F.col(f"ck{c}") for c in range(4)])).alias("chunk", "ck"),
     )
-    chunk_val = F.when(
-        F.col("s") > 0, F.element_at(_pow2_array(16), (F.col("b") % 16).cast("int") + 1)
-    ).otherwise(F.lit(0).cast("long"))
-    chunked = (
-        per_bit.withColumn("chunk", (F.col("b") / 16).cast("int"))
-        .groupBy("doc_id", "chunk")
-        .agg(F.sum(chunk_val).alias("ck"))
-    )
-    chunks = chunked.join(sig, "doc_id")
     x, y = chunks.alias("x"), chunks.alias("y")
     cand = (
         x.join(y, (F.col("x.chunk") == F.col("y.chunk")) & (F.col("x.ck") == F.col("y.ck"))

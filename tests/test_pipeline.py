@@ -158,3 +158,12 @@ def test_embedding_near_dups(spark, embeddings):
     df, vecs = embeddings
     pairs = {(r["a"], r["b"]): r["cosine"] for r in embedding_near_dups(df, threshold=0.95).collect()}
     assert (0, 1) in pairs and pairs[(0, 1)] == pytest.approx(1.0)
+
+
+def test_simhash_plan_has_single_explode(spark, docs):
+    """Scale regression: simhash must shuffle ~#docs aggregate rows, not
+    64×#tokens — i.e. the only Generate (explode) in the plan is the
+    token explode; the per-bit work is 64 conditional-sum aggregates."""
+    df = simhash(docs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate") == 1
