@@ -25,6 +25,17 @@ from graftpark.pipeline.textstats import (
 _QUERY_VEC = [round(float(x), 4) for x in np.random.RandomState(123).standard_normal(64)]
 _QNORM = float(sum(x * x for x in _QUERY_VEC)) ** 0.5
 
+#: shared LSH geometry for the embedding near-dup / ANN driver queries —
+#: same seeded hyperplanes on the Spark and DuckDB sides
+_ND_PLANES_N, _ND_BANDS, _LSH_SEED = 16, 4, 42
+_ANN_PLANES_N, _ANN_PROBE = 8, 1
+
+
+def _planes(n_planes: int):
+    from graftpark.pipeline.similarity import _hyperplanes
+
+    return _hyperplanes(64, n_planes, _LSH_SEED)
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -148,6 +159,32 @@ def q_audio_features(spark, sf_dir):
     )
 
 
+
+
+def q_embedding_near_dups_lsh(spark, sf_dir):
+    """Sign-bit-LSH-bucketed embedding near-dup pairs (the at-scale path:
+    banded self-join + exact-cosine verify over candidates only)."""
+    from graftpark.pipeline.dedup import embedding_near_dups_lsh
+
+    out = embedding_near_dups_lsh(
+        _emb(spark, sf_dir), threshold=0.3, dim=64,
+        n_planes=_ND_PLANES_N, bands=_ND_BANDS, seed=_LSH_SEED,
+    )
+    return out.select("a", "b", F.round("cosine", 6).alias("cosine"))
+
+
+def q_ann_lsh(spark, sf_dir):
+    """ANN top-10 by cosine via multi-probe sign-bit LSH buckets."""
+    from graftpark.pipeline.similarity import ann_lsh_topk
+
+    out = ann_lsh_topk(
+        _emb(spark, sf_dir), _QUERY_VEC, k=10,
+        n_planes=_ANN_PLANES_N, probe_hamming=_ANN_PROBE, seed=_LSH_SEED,
+    )
+    return (
+        out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+    )
 
 
 def q_minhash_near_dups(spark, sf_dir):
@@ -374,6 +411,67 @@ FROM embeddings
 """,
 }
 
+def _plane_lit(p) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+
+
+def _nd_oracle_sql() -> str:
+    """Full LSH-banding replication in DuckDB: per-band packed sign-bit
+    keys from the same seeded hyperplanes, bucketed self-join, exact
+    cosine verify (filter on the unrounded value, like the Spark side)."""
+    planes = _planes(_ND_PLANES_N)
+    r = _ND_PLANES_N // _ND_BANDS
+    keys = []
+    for b in range(_ND_BANDS):
+        terms = [
+            f"CASE WHEN list_dot_product(v, {_plane_lit(planes[b * r + j])}) > 0 THEN {1 << j} ELSE 0 END"
+            for j in range(r)
+        ]
+        keys.append("CAST(" + " + ".join(terms) + " AS BIGINT)")
+    ks = ", ".join(keys)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+keyed AS (SELECT vec_id, [{ks}] AS ks FROM e),
+banded AS (
+  SELECT vec_id, band, ks[band + 1] AS key
+  FROM keyed CROSS JOIN (SELECT unnest(generate_series(0, {_ND_BANDS - 1})) AS band) t),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM banded x JOIN banded y ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+SELECT c.a, c.b,
+       ROUND(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6) AS cosine
+FROM cand c JOIN n na ON na.vec_id = c.a JOIN n nb ON nb.vec_id = c.b
+WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) >= 0.3
+"""
+
+
+def _ann_oracle_sql() -> str:
+    from graftpark.pipeline.similarity import _probe_buckets
+
+    planes = _planes(_ANN_PLANES_N)
+    buckets = _probe_buckets(planes, _QUERY_VEC, _ANN_PROBE)
+    sig_terms = " + ".join(
+        f"CASE WHEN list_dot_product(v, {_plane_lit(p)}) > 0 THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    in_list = ", ".join(str(b) for b in sorted(buckets))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS (SELECT vec_id, v, CAST({sig_terms} AS BIGINT) AS s FROM e),
+pool AS (SELECT vec_id, v FROM sig WHERE s IN ({in_list})),
+q AS (SELECT {_qvec_literal()} AS qv)
+SELECT vec_id,
+       ROUND(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * {_QNORM!r}), 6) AS cosine
+FROM pool, q
+ORDER BY list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * {_QNORM!r}) DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+PIPELINE_ORACLE_SQL["embedding_near_dups_lsh"] = _nd_oracle_sql()
+PIPELINE_ORACLE_SQL["ann_lsh"] = _ann_oracle_sql()
+
 PIPELINE_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
@@ -382,6 +480,8 @@ PIPELINE_QUERIES = {
     "fingerprint": q_fingerprint,
     "minhash_sig": q_minhash_sig,
     "minhash_near_dups": q_minhash_near_dups,
+    "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
+    "ann_lsh": q_ann_lsh,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash": q_simhash,
     "cosine_topk": q_cosine_topk,

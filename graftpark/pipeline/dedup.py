@@ -250,3 +250,51 @@ def embedding_near_dups(
                 (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def embedding_near_dups_lsh(
+    embeddings: DataFrame, threshold: float = 0.95, dim: int | None = None,
+    n_planes: int = 16, bands: int = 4, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(a, b, cosine) near-dup pairs via sign-bit LSH banding — the
+    at-scale replacement for the O(n²) ``embedding_near_dups``.
+
+    Random-hyperplane sign bits are grouped into ``bands`` keys
+    (n_planes/bands bits each); candidate pairs must agree exactly on
+    ≥1 band, so the self-join is keyed on (band, key) — only same-bucket
+    vectors ever meet — followed by an exact-cosine verify over the
+    candidates only. Approximate by construction: a qualifying pair
+    whose signatures differ in every band is missed (pigeonhole
+    guarantees recall for pairs within ``bands - 1`` flipped sign bits);
+    ``embedding_near_dups`` remains the exact oracle for tests.
+    """
+    from graftpark.pipeline.similarity import _hyperplanes, band_key_cols
+
+    if dim is None:
+        dim = len(embeddings.select(vec_col).head()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    keys = band_key_cols(F.col(vec_col), planes, bands)
+    banded = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.array(*keys)).alias("band", "key"),
+    )
+    x, y = banded.alias("x"), banded.alias("y")
+    cand = (
+        x.join(y, (F.col("x.band") == F.col("y.band")) & (F.col("x.key") == F.col("y.key"))
+               & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), norm.alias("nrm"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    return (
+        cand.join(e.select(F.col("id").alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na")), "a")
+        .join(e.select(F.col("id").alias("b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")), "b")
+        .select("a", "b", (dot / (F.col("na") * F.col("nb"))).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

@@ -67,29 +67,91 @@ def lsh_signature_col(vec_col, planes) -> F.Column:
     return sig
 
 
-def ann_lsh_topk(
-    embeddings: DataFrame, query_vec: list[float], k: int = 10,
-    n_planes: int = 8, probe_hamming: int = 1, seed: int = 42,
-    id_col: str = "vec_id", vec_col: str = "embedding",
-) -> DataFrame:
-    """Approximate top-k: scan only LSH buckets within ``probe_hamming``
-    bits of the query's signature. At scale the signature column is
-    computed once and persisted/bucketed; the probe is a semi-join."""
+def band_key_cols(vec_col, planes, bands: int) -> list[F.Column]:
+    """Per-band packed sign-bit key columns (n_planes/bands bits each) —
+    the banding primitive shared by ANN and embedding near-dup LSH."""
+    r = len(planes) // bands
+    keys = []
+    for b in range(bands):
+        key = F.lit(0).cast("long")
+        for j, p in enumerate(planes[b * r:(b + 1) * r]):
+            plane = F.array(*[F.lit(float(x)) for x in p])
+            key = key + F.when(_dot(vec_col, plane) > 0, F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        keys.append(key)
+    return keys
+
+
+def _probe_buckets(planes, query_vec: list[float], probe_hamming: int) -> list[int]:
+    """Multi-probe bucket set: the query's signature bucket plus every
+    bucket within ``probe_hamming`` sign-bit flips."""
     import numpy as np
 
-    dim = len(query_vec)
-    planes = _hyperplanes(dim, n_planes, seed)
+    n_planes = len(planes)
     q = np.asarray(query_vec, dtype="float64")
     q_sig = 0
     for i, p in enumerate(planes):
         if float(np.dot(q, p)) > 0:
             q_sig |= 1 << i
-    # multi-probe bucket set: exact bucket + all within probe_hamming bits
     buckets = {q_sig}
     if probe_hamming >= 1:
         buckets |= {q_sig ^ (1 << i) for i in range(n_planes)}
     if probe_hamming >= 2:
         buckets |= {q_sig ^ (1 << i) ^ (1 << j) for i in range(n_planes) for j in range(i + 1, n_planes)}
+    return [int(b) for b in buckets]
+
+
+class AnnIndex:
+    """A built LSH index: the embedding table with its signature column
+    computed ONCE and persisted. Probes filter buckets from the cached
+    index — no per-query full-scan signature recompute."""
+
+    def __init__(self, df: DataFrame, planes, id_col: str, vec_col: str):
+        self.df, self.planes = df, planes
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def unpersist(self) -> None:
+        self.df.unpersist()
+
+
+def build_ann_index(
+    embeddings: DataFrame, dim: int, n_planes: int = 8, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> AnnIndex:
+    """Index-build stage (one scan): signature column + persist.
+
+    At cluster scale the persisted index would instead be written once
+    as parquet bucketed by ``_sig`` so probes prune files; in both cases
+    the probe path never recomputes signatures.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    df = embeddings.withColumn("_sig", lsh_signature_col(F.col(vec_col), planes))
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    return AnnIndex(df, planes, id_col, vec_col)
+
+
+def ann_probe(index: AnnIndex, query_vec: list[float], k: int = 10,
+              probe_hamming: int = 1) -> DataFrame:
+    """Probe stage: scan only the multi-probe buckets of the cached index."""
+    buckets = _probe_buckets(index.planes, query_vec, probe_hamming)
+    pool = index.df.where(F.col("_sig").isin(buckets))
+    return cosine_topk(pool, query_vec, k, index.id_col, index.vec_col)
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame, query_vec: list[float], k: int = 10,
+    n_planes: int = 8, probe_hamming: int = 1, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """One-shot convenience: inline signatures + probe (single scan).
+    For repeated queries build the index once with ``build_ann_index``
+    and call ``ann_probe`` per query."""
+    planes = _hyperplanes(len(query_vec), n_planes, seed)
+    buckets = _probe_buckets(planes, query_vec, probe_hamming)
     sig = lsh_signature_col(F.col(vec_col), planes)
-    pool = embeddings.withColumn("_sig", sig).where(F.col("_sig").isin([int(b) for b in buckets]))
+    pool = embeddings.withColumn("_sig", sig).where(F.col("_sig").isin(buckets))
     return cosine_topk(pool, query_vec, k, id_col, vec_col)

