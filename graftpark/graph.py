@@ -145,6 +145,54 @@ class Graph:
             edges = symmetrize(edges)
         return cls(edges)
 
+    @classmethod
+    def from_gml(cls, spark: SparkSession, path: str, directed: bool | None = None) -> "Graph":
+        """Newman-style GML (reference S2, test/runtests.jl:311-313).
+
+        GML is a single sequential text format, so it is parsed on the
+        driver (like the reference's loadgraph) and parallelized into an
+        edge DataFrame — appropriate for the metadata-sized graphs GML
+        ships; at-scale inputs arrive as parquet/CSV edge tables.
+        ``directed=None`` honors the file's ``directed`` flag (default 0).
+        """
+        import re
+
+        node_ids: list[int] = []
+        edges: list[tuple[int, int]] = []
+        file_directed = False
+        section = None
+        src = dst = None
+        kv = re.compile(r"^\s*(\w+)\s+(\S+)")
+        with open(path) as f:
+            for line in f:
+                m = kv.match(line)
+                tok = line.strip()
+                if tok == "node":
+                    section, src, dst = "node", None, None
+                elif tok == "edge":
+                    section, src, dst = "edge", None, None
+                elif tok == "]":
+                    if section == "edge" and src is not None and dst is not None:
+                        edges.append((src, dst))
+                    section = None
+                elif m:
+                    k, v = m.group(1), m.group(2)
+                    if section == "node" and k == "id":
+                        node_ids.append(int(v))
+                    elif section == "edge" and k == "source":
+                        src = int(v)
+                    elif section == "edge" and k == "target":
+                        dst = int(v)
+                    elif section is None and k == "directed":
+                        file_directed = v == "1"
+        if directed is None:
+            directed = file_directed
+        edf = spark.createDataFrame(edges or [], "src LONG, dst LONG")
+        if not directed:
+            edf = symmetrize(edf)
+        vdf = spark.createDataFrame([(int(i),) for i in node_ids] or [], "id LONG") if node_ids else None
+        return cls(edf, vertices=vdf)
+
     # -- derived tables ----------------------------------------------
     def vertices(self) -> DataFrame:
         if self._vertices is None:
