@@ -61,7 +61,8 @@ g = Graph(spark.read.parquet(data), assume_normalized=True)
 # warm-up (builds CSR blocks on first level, primes JIT + worker pool)
 strategy = os.environ.get("GRAFTPARK_SCALING_STRATEGY", "packed")
 pagerank(g, tol=0.0, max_supersteps=2, strategy=strategy, block_dir=block_dir,
-         num_partitions=buckets)
+         num_partitions=buckets,
+         payload_dtype=os.environ.get("GRAFTPARK_SCALING_DTYPE", "float32"))
 if os.environ.get("GRAFTPARK_SCALING_WARMUP_ONLY") == "1":
     print("SCALING_RESULT " + json.dumps({"warmup_only": True}))
     spark.stop()
@@ -69,8 +70,10 @@ if os.environ.get("GRAFTPARK_SCALING_WARMUP_ONLY") == "1":
 e_dir = g.edges.count()
 t0 = time.monotonic()
 k = int(os.environ.get("GRAFTPARK_SCALING_STEPS_PER_JOB", "4" if strategy == "packed" else "1"))
+dtype = os.environ.get("GRAFTPARK_SCALING_DTYPE", "float32")
 res = pagerank(g, tol=1e-6, max_supersteps=60, strategy=strategy,
-               block_dir=block_dir, num_partitions=buckets, steps_per_job=k)
+               block_dir=block_dir, num_partitions=buckets, steps_per_job=k,
+               payload_dtype=dtype)
 wall = time.monotonic() - t0
 walls = [m["wall_s"] for m in res.metrics]
 mean_step = sum(walls) / len(walls)
@@ -177,9 +180,13 @@ partitioning (only the core budget differs — the sandbox stand-in for
 N vs 4N executors).
 
 Kernel plan (north_star strategy): per-bucket CSR adjacency blocks
-built once as mmap-shared .npy, gather-scatter inside Arrow UDFs
-(np.add.reduceat), one compact-partial keyed shuffle per superstep,
-vectorized bincount reduce, convergence via DataFrame.observe.
+built once as mmap-shared .npy (int32 CSR indices), gather-scatter
+inside Arrow UDFs (np.add.reduceat), one compact-partial keyed shuffle
+per superstep, vectorized reduce, convergence via DataFrame.observe.
+Payload dtype: {os.environ.get('GRAFTPARK_SCALING_DTYPE', 'float32')}
+(float32 halves per-superstep DRAM traffic; convergence delta is
+accumulated float64, tol semantics unchanged — pytest asserts float32
+ranks match the float64 dataframe path to <5e-7).
 
 | parallelism | supersteps | mean superstep (s) | edges/sec/superstep |
 |---|---|---|---|

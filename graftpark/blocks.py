@@ -182,6 +182,10 @@ def _build_npy(part: str, npy_dir: str) -> None:
         if len(dst)
         else np.empty(0, dtype=np.int64)
     )
+    # per-bucket edge counts are < 2^31 by construction → int32 indices
+    # halve the steady-state mmap traffic of every superstep
+    if len(dst) < 2**31:
+        starts = starts.astype(np.int32)
     arrays = {
         "src_by_dst": np.ascontiguousarray(src),
         "starts": starts,
@@ -502,7 +506,7 @@ def _gather_layout(block_dir: str, bucket: int, blk: dict, num_buckets: int) -> 
         target = os.path.join(d, "gather_layout")
         if not os.path.isdir(target):
             dstb = np.asarray(blk["dstb_unique"])
-            order = np.argsort(dstb, kind="stable").astype(np.int64)
+            order = np.argsort(dstb, kind="stable").astype(np.int32)
             counts = np.bincount(dstb, minlength=num_buckets)
             offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
             _atomic_save_dir(d, "gather_layout", {"order": order, "offsets": offsets})
@@ -546,14 +550,22 @@ def _finish_layout(block_dir: str, dst_bucket: int, num_buckets: int) -> dict:
     return lay
 
 
-def packed_gather_fn(block_dir: str, num_buckets: int):
+def packed_gather_fn(block_dir: str, num_buckets: int, dtype: str = "float64"):
     """mapInPandas fn: packed state rows → packed partial-sum messages.
 
-    Input rows: (bucket, src_bucket=-1, payload = float64 ranks/out_deg
-    weights? no — raw ranks). For each state row, compute the per-edge
-    contributions from the worker-cached CSR block, reduce per
-    destination, and emit ONE binary message per destination bucket.
+    Input rows: (bucket, src_bucket=-1, payload = raw ranks). For each
+    state row, compute the per-edge contributions from the worker-cached
+    CSR block, reduce per destination, and emit ONE binary message per
+    destination bucket.
+
+    ``dtype='float32'`` halves the dominant per-superstep memory traffic
+    (per-edge gather temp + partial/state payloads) — the single-box
+    DRAM-bandwidth lever for the high-core scaling pair. The dangling
+    broadcast stays float64 (one scalar), and the finish stage
+    accumulates the convergence delta in float64, so tol semantics are
+    unchanged; ranks agree with the float64 path to ~1e-7 relative.
     """
+    dt = np.dtype(dtype)
 
     def fn(batches):
         import time
@@ -572,13 +584,13 @@ def packed_gather_fn(block_dir: str, num_buckets: int):
                 vtx = load_vertices(block_dir, b)
                 if vtx is None:
                     continue
-                rank = np.frombuffer(row.payload, dtype=np.float64)
+                rank = np.frombuffer(row.payload, dtype=dt)
                 od = np.asarray(vtx["out_deg"])
                 # broadcast this bucket's dangling mass to every bucket
                 # (src_bucket=-2): the reduce derives the global dangling
                 # term itself, so supersteps chain inside one query with
                 # no driver-side scalar roundtrip between them
-                dang = float(rank[od == 0].sum())
+                dang = float(rank[od == 0].astype(np.float64).sum())
                 yield pd.DataFrame(
                     {"bucket": np.arange(num_buckets, dtype=np.int32),
                      "src_bucket": np.full(num_buckets, -2, np.int32),
@@ -587,7 +599,9 @@ def packed_gather_fn(block_dir: str, num_buckets: int):
                 blk = load_block(block_dir, b)
                 if blk is None or blk["n_edges"] == 0:
                     continue
-                w = np.divide(rank, od, out=np.zeros_like(rank), where=od > 0)
+                # ufunc result is float64; `out` downcasts (same_kind) when
+                # dtype is float32 — halves the per-edge gather temp below
+                w = np.divide(rank, od, out=np.zeros(len(rank), dtype=dt), where=od > 0)
                 pos = _static_positions(block_dir, b, blk)
                 per_edge = w[pos]
                 partial = np.add.reduceat(per_edge, np.asarray(blk["starts"]))
@@ -612,13 +626,16 @@ def packed_gather_fn(block_dir: str, num_buckets: int):
 
 
 def packed_finish_fn(block_dir: str, num_buckets: int, n_vertices: int, alpha: float,
-                     tol_active: float):
+                     tol_active: float, dtype: str = "float64"):
     """applyInPandas fn (grouped by bucket): combine packed messages into
     the bucket's next rank vector + per-bucket convergence aggregates.
 
     The damping base term is derived from the dangling-mass broadcast
     rows (src_bucket=-2), so the UDF is superstep-independent and
-    supersteps chain inside one query."""
+    supersteps chain inside one query. Partial accumulation happens in
+    ``dtype``; the convergence delta/dangling aggregates are always
+    accumulated float64."""
+    dt = np.dtype(dtype)
 
     def fn(key, pdf):
         import time
@@ -632,22 +649,22 @@ def packed_finish_fn(block_dir: str, num_buckets: int, n_vertices: int, alpha: f
         n_c = len(vtx["ids"])
         prev = None
         dm = 0.0
-        sums = np.zeros(n_c, dtype=np.float64)
+        sums = np.zeros(n_c, dtype=dt)
         flay = _finish_layout(block_dir, c, num_buckets)
         fpos, foff = np.asarray(flay["pos"]), np.asarray(flay["offsets"])
         for row in pdf.itertuples(index=False):
             b = int(row.src_bucket)
             if b == -1:
-                prev = np.frombuffer(row.payload, dtype=np.float64)
+                prev = np.frombuffer(row.payload, dtype=dt)
             elif b == -2:
                 dm += float(np.frombuffer(row.payload, dtype=np.float64)[0])
             else:
-                sums[fpos[foff[b]:foff[b + 1]]] += np.frombuffer(row.payload, dtype=np.float64)
+                sums[fpos[foff[b]:foff[b + 1]]] += np.frombuffer(row.payload, dtype=dt)
         if prev is None:
-            prev = np.zeros(n_c, dtype=np.float64)
+            prev = np.zeros(n_c, dtype=dt)
         base = (1.0 - alpha) / n_vertices + alpha * dm / n_vertices
-        new = base + alpha * sums
-        diff = np.abs(new - prev)
+        new = (base + alpha * sums.astype(np.float64, copy=False)).astype(dt, copy=False)
+        diff = np.abs(new.astype(np.float64, copy=False) - prev.astype(np.float64, copy=False))
         od = np.asarray(vtx["out_deg"])
         _trace("pfinish", t0, bucket=c, msgs=len(pdf))
         return pd.DataFrame(
@@ -655,7 +672,7 @@ def packed_finish_fn(block_dir: str, num_buckets: int, n_vertices: int, alpha: f
                 "bucket": np.asarray([c], np.int32),
                 "payload": [new.tobytes()],
                 "delta": [float(diff.sum())],
-                "dangling": [float(new[od == 0].sum())],
+                "dangling": [float(new[od == 0].astype(np.float64).sum())],
                 "active": [int((diff > tol_active).sum())],
             }
         )
@@ -663,8 +680,9 @@ def packed_finish_fn(block_dir: str, num_buckets: int, n_vertices: int, alpha: f
     return fn
 
 
-def packed_expand_fn(block_dir: str):
+def packed_expand_fn(block_dir: str, dtype: str = "float64"):
     """mapInPandas fn: packed state rows → per-vertex (id, rank) rows."""
+    dt = np.dtype(dtype)
 
     def fn(batches):
         for pdf in batches:
@@ -674,21 +692,22 @@ def packed_expand_fn(block_dir: str):
                     continue
                 yield pd.DataFrame(
                     {"id": np.asarray(vtx["ids"]),
-                     "rank": np.frombuffer(row.payload, dtype=np.float64)}
+                     "rank": np.frombuffer(row.payload, dtype=dt).astype(np.float64)}
                 )
 
     return fn
 
 
-def pack_fn(block_dir: str, value_col: str):
+def pack_fn(block_dir: str, value_col: str, dtype: str = "float64"):
     """applyInPandas fn (grouped by bucket): per-vertex rows → one packed
     row, value vector aligned to the bucket's sorted sidecar ids."""
+    dt = np.dtype(dtype)
 
     def fn(key, pdf):
         bucket = int(key[0])
         ids = pdf["id"].to_numpy()
         order = np.argsort(ids, kind="stable")
-        payload = pdf[value_col].to_numpy().astype(np.float64)[order]
+        payload = pdf[value_col].to_numpy().astype(dt)[order]
         return pd.DataFrame(
             {"bucket": np.asarray([bucket], np.int32),
              "payload": [payload.tobytes()],

@@ -113,6 +113,18 @@ def q_cc_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_cc_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-star/small-star CC (O(log n) rounds, diameter-independent)
+    on the bipartite link graph — same oracle as cc_bipartite."""
+    from graftpark.kernels.components import connected_components_twophase
+
+    g = Graph(edges_from_testdata(spark, sf_dir))
+    res = connected_components_twophase(g)
+    out = components_df(res)
+    g.unpersist()
+    return out
+
+
 def q_triangles_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = Graph(nation_edges_from_testdata(spark, sf_dir))
     n = triangle_count(g)
@@ -290,6 +302,7 @@ SELECT id, id AS parent FROM src0
 }
 
 ORACLE_SQL["cc_csr"] = ORACLE_SQL["cc_bipartite"]
+ORACLE_SQL["cc_twophase"] = ORACLE_SQL["cc_bipartite"]
 ORACLE_SQL["label_prop_csr"] = ORACLE_SQL["label_prop_nation"]
 
 from graftpark.driver_queries_pipeline import PIPELINE_ORACLE_SQL, PIPELINE_QUERIES  # noqa: E402
@@ -305,6 +318,7 @@ QUERIES = {
     "pagerank_csr": q_pagerank_csr,
     "cc_nation": q_cc_nation,
     "cc_csr": q_cc_csr,
+    "cc_twophase": q_cc_twophase,
     "cc_bipartite": q_cc_bipartite,
     "triangles_nation": q_triangles_nation,
     "label_prop_nation": q_label_prop_nation,

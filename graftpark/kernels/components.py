@@ -219,5 +219,91 @@ def _cc_csr(
         )
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every neighbor larger than u to m = min(Γ(u) ∪ {u})."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
+        "u", F.least("mn", "u").alias("m")
+    )
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges toward the smaller endpoint; connect u and all its
+    smaller neighbors to their minimum."""
+    o = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    mins = o.groupBy("u").agg(F.min("v").alias("m"))
+    out = (
+        o.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(mins.select("u", F.col("m").alias("v")))
+    )
+    return out.where(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components_twophase(
+    graph: Graph,
+    max_rounds: int = 50,
+    num_partitions: int | None = None,
+) -> LoopResult:
+    """Large-star / small-star connected components — O(log n) rounds.
+
+    The min-label propagation above needs ~diameter supersteps, which on
+    high-diameter graphs (road networks, grids, paths) is the scale
+    bottleneck: a 10^9-edge road graph can have diameter in the
+    thousands. This alternating star-contraction algorithm (public:
+    Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — the same pair of operators GraphX/GraphFrames use)
+    converges in O(log n) rounds regardless of diameter: each round is
+    two groupBy-min aggregations + two co-keyed joins over a shrinking
+    edge set, all map-side combinable, hub skew handled by partial
+    aggregation + AQE.
+
+    Returns the same contract as ``connected_components``: state
+    ``(id, comp)`` with comp = min vertex id of the component.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    spark = graph.spark
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = (
+        graph.edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .repartition(n_part, "u")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_edges = e.count()
+    metrics: list[dict] = []
+    converged = n_edges == 0
+    rounds = 0
+    import time
+
+    while not converged and rounds < max_rounds:
+        rounds += 1
+        t0 = time.monotonic()
+        new = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        n_new = new.count()
+        # fixed point: equal cardinality and no edge left the set
+        converged = n_new == n_edges and new.exceptAll(e).count() == 0
+        e.unpersist()
+        e, n_edges = new, n_new
+        metrics.append({"superstep": rounds, "wall_s": time.monotonic() - t0,
+                        "edges": n_edges, "active": 0 if converged else n_edges})
+    # final stars point child → component-min root; roots + isolated
+    # vertices map to themselves
+    comps = (
+        graph.vertices()
+        .join(e.select(F.col("u").alias("id"), F.col("v").alias("root")), "id", "left")
+        .select("id", F.coalesce("root", "id").alias("comp"))
+    )
+    return LoopResult(state=comps, metrics=metrics, supersteps=rounds, converged=converged)
+
+
 def components_df(result: LoopResult) -> DataFrame:
     return result.state.select("id", "comp")

@@ -38,6 +38,7 @@ def pagerank(
     strategy: str = "auto",
     block_dir: str | None = None,
     steps_per_job: int = 1,
+    payload_dtype: str = "float64",
 ) -> LoopResult:
     """Ranks sum to 1 over the full vertex set (isolated vertices included).
 
@@ -71,7 +72,7 @@ def pagerank(
     if strategy == "packed":
         return _pagerank_packed(
             graph, n, alpha, tol, max_supersteps, checkpoint_dir, checkpoint_every,
-            resume, n_part, block_dir, steps_per_job,
+            resume, n_part, block_dir, steps_per_job, payload_dtype,
         )
     use_bc = choose_strategy(n, broadcast_state)
     graph.persist_for_iteration(n_part, key=None if use_bc else "src", sym=False)
@@ -387,6 +388,7 @@ def _pagerank_packed(
     n_part: int,
     block_dir: str | None,
     steps_per_job: int = 1,
+    payload_dtype: str = "float64",
 ) -> LoopResult:
     """Packed-message CSR strategy — the at-scale execution path.
 
@@ -445,11 +447,12 @@ def _pagerank_packed(
         return (
             expanded.withColumn("bucket", bucket_col("id", n_part).cast("int"))
             .groupBy("bucket")
-            .applyInPandas(pack_fn(block_dir, "rank"), schema=_PACKED_SCHEMA)
+            .applyInPandas(pack_fn(block_dir, "rank", payload_dtype), schema=_PACKED_SCHEMA)
         )
 
     def expand_df(packed: DataFrame) -> DataFrame:
-        return packed.mapInPandas(packed_expand_fn(block_dir), schema="id long, rank double")
+        return packed.mapInPandas(packed_expand_fn(block_dir, payload_dtype),
+                                  schema="id long, rank double")
 
     class PackedCheckpointer(Checkpointer):
         """Durable checkpoints stay per-vertex parquet (north_rule)."""
@@ -478,8 +481,8 @@ def _pagerank_packed(
     # superstep-independent UDFs: the damping base is derived inside the
     # reduce from the dangling-mass broadcast rows, so ``k`` supersteps
     # chain into ONE query (one driver roundtrip, one lineage truncation)
-    gather = packed_gather_fn(block_dir, n_part)
-    finish = packed_finish_fn(block_dir, n_part, n, alpha, tol / n)
+    gather = packed_gather_fn(block_dir, n_part, payload_dtype)
+    finish = packed_finish_fn(block_dir, n_part, n, alpha, tol / n, payload_dtype)
     msg_schema = "bucket int, src_bucket int, payload binary"
 
     def one_superstep(state: DataFrame) -> DataFrame:

@@ -22,8 +22,14 @@ from graftpark.pipeline.dedup import (  # noqa: F401
     simhash,
     simhash_near_dups,
     embedding_near_dups,
+    embedding_near_dups_lsh,
 )
-from graftpark.pipeline.similarity import cosine_topk, ann_lsh_topk  # noqa: F401
+from graftpark.pipeline.similarity import (  # noqa: F401
+    ann_lsh_topk,
+    ann_probe,
+    build_ann_index,
+    cosine_topk,
+)
 from graftpark.pipeline.textstats import (  # noqa: F401
     token_counts,
     quality_scores,

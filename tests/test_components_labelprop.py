@@ -52,3 +52,32 @@ def test_label_propagation_matches_oracle(spark, name):
     for v, lab in got.items():
         assert comp[v] == comp[lab]
     g.unpersist()
+
+
+def test_twophase_cc_matches_minlabel(spark):
+    from graftpark.fixtures import G8_TWO_COMP, powerlaw_edges_pdf
+    from graftpark.kernels.components import connected_components_twophase
+
+    n, directed, edges = G8_TWO_COMP
+    g = Graph.from_edge_list(spark, edges, n=n, directed=directed)
+    a = {r["id"]: r["comp"] for r in connected_components(g).state.collect()}
+    b = {r["id"]: r["comp"] for r in connected_components_twophase(g).state.collect()}
+    assert a == b
+    pl = Graph(spark.createDataFrame(powerlaw_edges_pdf(20000, 3000, seed=5)))
+    a = {r["id"]: r["comp"] for r in connected_components(pl).state.collect()}
+    res = connected_components_twophase(pl)
+    assert {r["id"]: r["comp"] for r in res.state.collect()} == a
+    assert res.converged
+
+
+def test_twophase_cc_diameter_independent(spark):
+    """On a path graph (diameter n-1) min-label needs ~n supersteps;
+    two-phase star contraction needs O(log n) rounds."""
+    from graftpark.fixtures import path_digraph
+    from graftpark.kernels.components import connected_components_twophase
+
+    g = Graph.from_edge_list(spark, path_digraph(1000), directed=False)
+    res = connected_components_twophase(g)
+    assert res.converged and res.supersteps <= 15
+    comps = {r["comp"] for r in res.state.collect()}
+    assert comps == {1}

@@ -112,3 +112,15 @@ def test_pagerank_csr_checkpoint_resume(spark, tmp_path):
     assert resumed.supersteps == 12
     a, b = _ranks(full), _ranks(resumed)
     assert max(abs(a[k] - b[k]) for k in a) < 1e-12
+
+
+def test_pagerank_packed_float32_payloads(spark, powerlaw_graph, tmp_path):
+    """float32 payloads (the DRAM-bandwidth lever for high-core scaling)
+    agree with the float64 dataframe path to float32 resolution."""
+    a = _ranks(pagerank(powerlaw_graph, strategy="dataframe", max_supersteps=20, tol=1e-6))
+    b = _ranks(pagerank(powerlaw_graph, strategy="packed", max_supersteps=20, tol=1e-6,
+                        block_dir=str(tmp_path / "blk"), payload_dtype="float32"))
+    assert set(a) == set(b)
+    # ranks are ~1/n ≈ 3e-4; float32 mantissa gives ~1e-7 relative
+    assert max(abs(a[k] - b[k]) for k in a) < 5e-7
+    assert abs(sum(b.values()) - 1.0) < 1e-4
