@@ -145,7 +145,11 @@ def main() -> None:
     prepare_input(n_edges, n_vertices, 42, data)
 
     t0 = time.monotonic()
-    if not os.path.exists(os.path.join(blocks, "_SUCCESS")):
+    # meta.json required too: ensure_edge_blocks rebuilds a dir without it
+    # (pre-metadata layout), and that rebuild must happen in this unpinned
+    # setup phase, not inside a pinned measured level
+    if not (os.path.exists(os.path.join(blocks, "_SUCCESS"))
+            and os.path.exists(os.path.join(blocks, "meta.json"))):
         # one-time artifact build (blocks, sidecar, static positions) at
         # full parallelism, unpinned — setup, not part of either level
         run_level(os.cpu_count() or n_high, buckets, data, blocks, pin=False,

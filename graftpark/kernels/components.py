@@ -250,6 +250,9 @@ def connected_components_twophase(
     graph: Graph,
     max_rounds: int = 50,
     num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = False,
 ) -> LoopResult:
     """Large-star / small-star connected components — O(log n) rounds.
 
@@ -271,30 +274,50 @@ def connected_components_twophase(
 
     spark = graph.spark
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    e = (
-        graph.edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-        .repartition(n_part, "u")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # durable checkpoint state = the contracted edge set (u, v)
+    checkpointer = (
+        Checkpointer(checkpoint_dir, every=checkpoint_every, id_col="u")
+        if checkpoint_dir
+        else None
     )
-    n_edges = e.count()
+    start, e = 1, None
     metrics: list[dict] = []
+    if resume and checkpointer is not None:
+        rp = resume_point(checkpointer, spark)
+        if rp is not None:
+            e, last, metrics = rp
+            start = last + 1
+    if e is None:
+        e = (
+            graph.edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .repartition(n_part, "u")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    n_edges = e.count()
     converged = n_edges == 0
-    rounds = 0
+    rounds = start - 1
     import time
 
     while not converged and rounds < max_rounds:
         rounds += 1
         t0 = time.monotonic()
-        new = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        new = _small_star(_large_star(e))
+        if checkpointer is not None and rounds % checkpointer.every == 0:
+            new = checkpointer.save(new, rounds)
+        else:
+            new = new.localCheckpoint(eager=True)
         n_new = new.count()
         # fixed point: equal cardinality and no edge left the set
         converged = n_new == n_edges and new.exceptAll(e).count() == 0
         e.unpersist()
         e, n_edges = new, n_new
-        metrics.append({"superstep": rounds, "wall_s": time.monotonic() - t0,
-                        "edges": n_edges, "active": 0 if converged else n_edges})
+        rec = {"superstep": rounds, "wall_s": time.monotonic() - t0,
+               "edges": n_edges, "active": 0 if converged else n_edges}
+        metrics.append(rec)
+        if checkpointer is not None:
+            checkpointer.record_metrics(rec)
     # final stars point child → component-min root; roots + isolated
     # vertices map to themselves
     comps = (

@@ -81,3 +81,20 @@ def test_twophase_cc_diameter_independent(spark):
     assert res.converged and res.supersteps <= 15
     comps = {r["comp"] for r in res.state.collect()}
     assert comps == {1}
+
+
+def test_twophase_cc_checkpoint_resume(spark, tmp_path):
+    from graftpark.fixtures import powerlaw_edges_pdf
+    from graftpark.kernels.components import connected_components_twophase
+
+    pl = Graph(spark.createDataFrame(powerlaw_edges_pdf(15000, 2500, seed=9)))
+    run = str(tmp_path / "run")
+    full = {r["id"]: r["comp"]
+            for r in connected_components_twophase(pl).state.collect()}
+    # partial run: stop after round 2 (checkpoint_every=1 → durable each round)
+    connected_components_twophase(pl, max_rounds=2, checkpoint_dir=run, checkpoint_every=1)
+    res = connected_components_twophase(pl, checkpoint_dir=run, checkpoint_every=1,
+                                        resume=True)
+    resumed = {r["id"]: r["comp"] for r in res.state.collect()}
+    assert res.metrics[0]["superstep"] == 1  # metrics replayed from file
+    assert resumed == full
