@@ -199,6 +199,34 @@ def _write_csv(out: dict) -> None:
                         out["converged"].get(name, ""), out["sf"], out["cpus"]])
         w.writerow(["_edges_per_sec_per_superstep", out["edges_per_sec_per_superstep"],
                     "", "", out["sf"], out["cpus"]])
+    _write_svg(out)
+
+
+def _write_svg(out: dict) -> None:
+    """Dependency-free SVG bar chart of per-query wall time (reference S5
+    plot parity without matplotlib)."""
+    qs = list(out["queries"].items())
+    if not qs:
+        return
+    w, bar_h, left, top = 640, 22, 180, 30
+    h = top + bar_h * len(qs) + 20
+    vmax = max(v for _, v in qs) or 1.0
+    rows = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{w}" height="{h}" '
+        f'font-family="monospace" font-size="12">',
+        f'<text x="8" y="18">graftpark bench sf={out["sf"]} local[{out["cpus"]}] '
+        f'(total {out["value"]}s)</text>',
+    ]
+    for i, (name, sec) in enumerate(qs):
+        y = top + i * bar_h
+        bw = int((w - left - 80) * sec / vmax)
+        rows.append(f'<text x="8" y="{y + 14}">{name}</text>')
+        rows.append(f'<rect x="{left}" y="{y + 3}" width="{max(bw, 1)}" height="{bar_h - 8}" fill="#4878a8"/>')
+        rows.append(f'<text x="{left + bw + 6}" y="{y + 14}">{sec}s</text>')
+    rows.append("</svg>")
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "bench_queries.svg")
+    with open(path, "w") as f:
+        f.write("\n".join(rows))
 
 
 if __name__ == "__main__":
