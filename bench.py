@@ -44,7 +44,10 @@ def make_ba_graph(spark, n_vertices: int, m: int, seed: int = 42):
 
     pairs = barabasi_albert(n_vertices, m, seed=seed)
     pdf = pd.DataFrame(pairs, columns=["src", "dst"])
-    edges = spark.createDataFrame(pdf)
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # localCheckpoint severs the Arrow local-relation lineage — without it
+    # the driver-side rows ship with every downstream stage (10x slowdown)
+    edges = spark.createDataFrame(pdf).repartition(n).localCheckpoint(eager=True)
     return Graph(edges)
 
 

@@ -130,6 +130,14 @@ class Graph:
         """
         pairs = list(pairs)
         edges = spark.createDataFrame([(int(u), int(v)) for u, v in pairs] or [], "src LONG, dst LONG")
+        if len(pairs) > 10_000:
+            # sever the local-relation lineage: with Arrow createDataFrame
+            # the driver-side rows otherwise travel inside the plan of
+            # EVERY downstream stage (measured 10x slowdown on a 1.2M-edge
+            # generated graph); a one-time eager localCheckpoint makes the
+            # data an executor-resident RDD like any scanned source
+            n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            edges = edges.repartition(n).localCheckpoint(eager=True)
         if not directed:
             edges = symmetrize(edges)
         vertices = None
@@ -228,7 +236,12 @@ class Graph:
                     F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
                     F.coalesce("deg", F.lit(0)).alias("deg"),
                 )
+                # V-row table consumed by multiple downstream branches
+                # (orientation joins it twice): persist or every action
+                # replays the three degree aggregations
+                .persist(StorageLevel.MEMORY_AND_DISK)
             )
+            self._persisted.append(self._degrees)
         return self._degrees
 
     # -- iteration prep ------------------------------------------------
