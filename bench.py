@@ -163,6 +163,14 @@ def main() -> None:
     queries["cc_csr_pl"] = time.monotonic() - t0
     supersteps["cc_csr_pl"] = res.supersteps
 
+    # packed min-semiring CC (static int64 messages) — the at-scale path
+    blk_sym = os.path.join(pl_cache, f"blocks-sym-{cpus}")
+    connected_components(g_pl, strategy="packed", max_supersteps=1, block_dir=blk_sym)
+    t0 = time.monotonic()
+    res = connected_components(g_pl, max_supersteps=60, strategy="packed", block_dir=blk_sym)
+    queries["cc_packed_pl"] = time.monotonic() - t0
+    supersteps["cc_packed_pl"] = res.supersteps
+
     total = time.monotonic() - t_all
     out = {
         "metric": "total_bench_sec",

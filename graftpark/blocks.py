@@ -680,9 +680,10 @@ def packed_finish_fn(block_dir: str, num_buckets: int, n_vertices: int, alpha: f
     return fn
 
 
-def packed_expand_fn(block_dir: str, dtype: str = "float64"):
-    """mapInPandas fn: packed state rows → per-vertex (id, rank) rows."""
+def packed_expand_fn(block_dir: str, dtype: str = "float64", out_col: str = "rank"):
+    """mapInPandas fn: packed state rows → per-vertex (id, value) rows."""
     dt = np.dtype(dtype)
+    out = np.float64 if dt.kind == "f" else dt
 
     def fn(batches):
         for pdf in batches:
@@ -692,7 +693,7 @@ def packed_expand_fn(block_dir: str, dtype: str = "float64"):
                     continue
                 yield pd.DataFrame(
                     {"id": np.asarray(vtx["ids"]),
-                     "rank": np.frombuffer(row.payload, dtype=dt).astype(np.float64)}
+                     out_col: np.frombuffer(row.payload, dtype=dt).astype(out, copy=False)}
                 )
 
     return fn
@@ -751,3 +752,95 @@ def combine_min(partials: pd.DataFrame, state_pdf: pd.DataFrame, own: np.ndarray
     merged = np.empty(n, dtype=merged_sorted.dtype)
     merged[order] = merged_sorted
     return merged
+
+
+# ---------------------------------------------------------------------------
+# Packed min-semiring layer (connected components): same static message
+# layout as the PageRank packed path, but payloads are int64 labels and
+# the reduce is elementwise minimum. Messages reuse _gather_layout /
+# _finish_layout — they describe the block topology, not the semiring.
+# ---------------------------------------------------------------------------
+
+
+def packed_gather_min_fn(block_dir: str, num_buckets: int):
+    """mapInPandas fn: packed label rows → per-dst-bucket segment minima.
+
+    Emits the state itself (src_bucket=-1) so the reduce needs no
+    separate carrier branch, then one int64 message per destination
+    bucket holding min-over-in-neighbors for that bucket's dst segment.
+    """
+
+    def fn(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                b = int(row.bucket)
+                yield pd.DataFrame(
+                    {"bucket": np.asarray([b], np.int32),
+                     "src_bucket": np.asarray([-1], np.int32),
+                     "payload": [row.payload]}
+                )
+                blk = load_block(block_dir, b)
+                if blk is None or blk["n_edges"] == 0:
+                    continue
+                labels = np.frombuffer(row.payload, dtype=np.int64)
+                pos = _static_positions(block_dir, b, blk)
+                per_edge = labels[pos]
+                partial = np.minimum.reduceat(per_edge, np.asarray(blk["starts"]))
+                lay = _gather_layout(block_dir, b, blk, num_buckets)
+                grouped = partial[np.asarray(lay["order"])]
+                off = np.asarray(lay["offsets"])
+                out_bucket, out_src, out_payload = [], [], []
+                for c in range(num_buckets):
+                    lo, hi = int(off[c]), int(off[c + 1])
+                    if hi > lo:
+                        out_bucket.append(c)
+                        out_src.append(b)
+                        out_payload.append(grouped[lo:hi].tobytes())
+                yield pd.DataFrame(
+                    {"bucket": np.asarray(out_bucket, np.int32),
+                     "src_bucket": np.asarray(out_src, np.int32),
+                     "payload": out_payload}
+                )
+
+    return fn
+
+
+def packed_finish_min_fn(block_dir: str, num_buckets: int):
+    """applyInPandas fn (grouped by bucket): merge segment minima into
+    the bucket's next label vector; 'changed' counts label updates."""
+
+    def fn(key, pdf):
+        c = int(key[0])
+        vtx = load_vertices(block_dir, c)
+        if vtx is None:
+            return pd.DataFrame({"bucket": [], "payload": [], "delta": [],
+                                 "dangling": [], "active": []})
+        prev = None
+        msgs = []
+        flay = _finish_layout(block_dir, c, num_buckets)
+        fpos, foff = np.asarray(flay["pos"]), np.asarray(flay["offsets"])
+        for row in pdf.itertuples(index=False):
+            b = int(row.src_bucket)
+            if b == -1:
+                prev = np.frombuffer(row.payload, dtype=np.int64)
+            else:
+                msgs.append((b, row.payload))
+        if prev is None:
+            prev = np.full(len(vtx["ids"]), np.iinfo(np.int64).max, dtype=np.int64)
+        new = prev.copy()
+        for b, payload in msgs:
+            seg = fpos[foff[b]:foff[b + 1]]  # unique positions within one b
+            vals = np.frombuffer(payload, dtype=np.int64)
+            new[seg] = np.minimum(new[seg], vals)
+        changed = int((new != prev).sum())
+        return pd.DataFrame(
+            {
+                "bucket": np.asarray([c], np.int32),
+                "payload": [new.tobytes()],
+                "delta": [float(changed)],
+                "dangling": [0.0],
+                "active": [changed],
+            }
+        )
+
+    return fn

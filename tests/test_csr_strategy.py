@@ -124,3 +124,19 @@ def test_pagerank_packed_float32_payloads(spark, powerlaw_graph, tmp_path):
     # ranks are ~1/n ≈ 3e-4; float32 mantissa gives ~1e-7 relative
     assert max(abs(a[k] - b[k]) for k in a) < 5e-7
     assert abs(sum(b.values()) - 1.0) < 1e-4
+
+
+def test_cc_packed_matches_dataframe(spark, powerlaw_graph, tmp_path):
+    """Packed min-semiring CC (static int64 messages) equals the
+    dataframe formulation exactly."""
+    a = _comps(connected_components(powerlaw_graph, strategy="dataframe"))
+    b = _comps(connected_components(powerlaw_graph, strategy="packed",
+                                    block_dir=str(tmp_path / "blk")))
+    assert a == b
+
+
+def test_cc_packed_two_components(spark, tmp_path):
+    n, directed, edges = G6_TWO_COMP
+    g = Graph.from_edge_list(spark, edges, n=n, directed=directed)
+    b = _comps(connected_components(g, strategy="packed", block_dir=str(tmp_path / "blk")))
+    assert b == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
