@@ -171,6 +171,12 @@ def main() -> None:
     queries["cc_packed_pl"] = time.monotonic() - t0
     supersteps["cc_packed_pl"] = res.supersteps
 
+    # packed mode-semiring label propagation
+    t0 = time.monotonic()
+    res = label_propagation(g_pl, max_supersteps=5, strategy="packed", block_dir=blk_sym)
+    queries["lp_packed_pl"] = time.monotonic() - t0
+    supersteps["lp_packed_pl"] = res.supersteps
+
     total = time.monotonic() - t_all
     out = {
         "metric": "total_bench_sec",

@@ -844,3 +844,140 @@ def packed_finish_min_fn(block_dir: str, num_buckets: int):
         )
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# Packed mode-semiring layer (label propagation): messages carry, per
+# static dst segment, a variable-length (label, count) list per dst,
+# encoded as three arrays in one payload:
+#   k[len(seg)] int32  — distinct-label count per dst (in segment order)
+#   labels[sum(k)] int64, counts[sum(k)] int32
+# The static segment layout is shared with the other packed semirings.
+# ---------------------------------------------------------------------------
+
+
+def _segment_entry_indices(gids, k_per_dst, ent_off):
+    """Vectorized variable-length gather: entry indices of groups ``gids``
+    given per-group entry counts and exclusive entry offsets."""
+    l = k_per_dst[gids]
+    total = int(l.sum())
+    if total == 0:
+        return np.empty(0, np.int64), l
+    starts = ent_off[gids]
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(l)[:-1]]), l
+    )
+    return np.repeat(starts, l) + within, l
+
+
+def packed_gather_mode_fn(block_dir: str, num_buckets: int):
+    """mapInPandas fn: packed label rows → per-dst-bucket (label, count)
+    lists. Labels change every superstep, so the (group, label) pairs are
+    lexsorted per call (as in mode_gather_fn) before segment packing."""
+
+    def fn(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                b = int(row.bucket)
+                yield pd.DataFrame(
+                    {"bucket": np.asarray([b], np.int32),
+                     "src_bucket": np.asarray([-1], np.int32),
+                     "payload": [row.payload]}
+                )
+                blk = load_block(block_dir, b)
+                if blk is None or blk["n_edges"] == 0:
+                    continue
+                state = np.frombuffer(row.payload, dtype=np.int64)
+                pos = _static_positions(block_dir, b, blk)
+                lab = state[pos]
+                gi = _group_idx(block_dir, b, blk)
+                o = np.lexsort((lab, gi))
+                gi_s, lab_s = gi[o], lab[o]
+                bnd = np.flatnonzero(
+                    np.r_[True, (gi_s[1:] != gi_s[:-1]) | (lab_s[1:] != lab_s[:-1])]
+                )
+                cnt = np.diff(np.append(bnd, len(gi_s))).astype(np.int32)
+                g_at = gi_s[bnd]
+                lab_at = lab_s[bnd]
+                n_groups = len(blk["starts"])
+                k_per_dst = np.bincount(g_at, minlength=n_groups)
+                ent_off = np.concatenate([[0], np.cumsum(k_per_dst)[:-1]])
+                lay = _gather_layout(block_dir, b, blk, num_buckets)
+                order, off = np.asarray(lay["order"]), np.asarray(lay["offsets"])
+                out_bucket, out_src, out_payload = [], [], []
+                for c in range(num_buckets):
+                    lo, hi = int(off[c]), int(off[c + 1])
+                    if hi <= lo:
+                        continue
+                    gids = order[lo:hi]
+                    idx, l = _segment_entry_indices(gids, k_per_dst, ent_off)
+                    payload = (
+                        l.astype(np.int32).tobytes()
+                        + lab_at[idx].tobytes()
+                        + cnt[idx].tobytes()
+                    )
+                    out_bucket.append(c)
+                    out_src.append(b)
+                    out_payload.append(payload)
+                yield pd.DataFrame(
+                    {"bucket": np.asarray(out_bucket, np.int32),
+                     "src_bucket": np.asarray(out_src, np.int32),
+                     "payload": out_payload}
+                )
+
+    return fn
+
+
+def packed_finish_mode_fn(block_dir: str, num_buckets: int):
+    """applyInPandas fn (grouped by bucket): merge per-segment label
+    counts into the bucket's next labels — mode with min-label tie-break,
+    own label wins only with no neighbor labels (count-0 carrier),
+    exactly the dataframe/mode_gather semantics (via combine_mode)."""
+
+    def fn(key, pdf):
+        c = int(key[0])
+        vtx = load_vertices(block_dir, c)
+        if vtx is None:
+            return pd.DataFrame({"bucket": [], "payload": [], "delta": [],
+                                 "dangling": [], "active": []})
+        n_c = len(vtx["ids"])
+        prev = None
+        pos_parts, lab_parts, cnt_parts = [], [], []
+        flay = _finish_layout(block_dir, c, num_buckets)
+        fpos, foff = np.asarray(flay["pos"]), np.asarray(flay["offsets"])
+        for row in pdf.itertuples(index=False):
+            b = int(row.src_bucket)
+            if b == -1:
+                prev = np.frombuffer(row.payload, dtype=np.int64)
+                continue
+            seg = fpos[foff[b]:foff[b + 1]]
+            raw = row.payload
+            nk = len(seg)
+            k = np.frombuffer(raw, dtype=np.int32, count=nk)
+            total = int(k.sum())
+            labels = np.frombuffer(raw, dtype=np.int64, count=total, offset=4 * nk)
+            counts = np.frombuffer(raw, dtype=np.int32, count=total, offset=4 * nk + 8 * total)
+            pos_parts.append(np.repeat(seg.astype(np.int64), k))
+            lab_parts.append(labels)
+            cnt_parts.append(counts.astype(np.int64))
+        if prev is None:
+            prev = np.asarray(vtx["ids"], dtype=np.int64).copy()
+        partials = pd.DataFrame({
+            "dst": np.concatenate(pos_parts) if pos_parts else np.empty(0, np.int64),
+            "label": np.concatenate(lab_parts) if lab_parts else np.empty(0, np.int64),
+            "cnt": np.concatenate(cnt_parts) if cnt_parts else np.empty(0, np.int64),
+        })
+        carriers = pd.DataFrame({"dst": np.arange(n_c, dtype=np.int64), "label": prev})
+        _, win_lab, prev_aligned = combine_mode(partials, carriers)
+        changed = int((win_lab != prev_aligned).sum())
+        return pd.DataFrame(
+            {
+                "bucket": np.asarray([c], np.int32),
+                "payload": [win_lab.astype(np.int64).tobytes()],
+                "delta": [float(changed)],
+                "dangling": [0.0],
+                "active": [changed],
+            }
+        )
+
+    return fn

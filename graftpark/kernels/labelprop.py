@@ -35,14 +35,21 @@ def label_propagation(
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     n = graph.num_vertices()
     if strategy == "auto":
-        # csr block dirs default to driver-local tmp — only auto-pick csr
-        # on a local master or with an explicit (shared-storage) block_dir
+        # csr/packed block dirs default to driver-local tmp — only auto-pick
+        # them on a local master or with an explicit (shared-storage)
+        # block_dir; packed unless durable checkpoints are requested (only
+        # the csr path wires the Checkpointer)
         blocks_ok = spark.sparkContext.master.startswith("local") or block_dir is not None
-        strategy = "csr" if (not choose_strategy(n, broadcast_state) and blocks_ok) else "dataframe"
+        if not choose_strategy(n, broadcast_state) and blocks_ok:
+            strategy = "csr" if checkpoint_dir else "packed"
+        else:
+            strategy = "dataframe"
     if strategy == "csr":
         return _lp_csr(
             graph, max_supersteps, checkpoint_dir, checkpoint_every, resume, n_part, block_dir
         )
+    if strategy == "packed":
+        return _lp_packed(graph, max_supersteps, n_part, block_dir)
     use_bc = choose_strategy(n, broadcast_state)
     graph.persist_for_iteration(n_part, key=None if use_bc else "src")
     sym = graph.edges_sym()
@@ -233,6 +240,87 @@ def _lp_csr(
             initial_metrics=initial_metrics,
             observe_cols=observe_cols,
         )
+
+
+def _lp_packed(
+    graph: Graph,
+    max_supersteps: int,
+    n_part: int,
+    block_dir: str | None,
+) -> LoopResult:
+    """Packed mode-semiring label propagation — the at-scale LP path.
+
+    Static-message dataflow like the PageRank/CC packed strategies, but
+    mode messages are variable-length: per static dst segment, a
+    (distinct-label count, labels, counts) triple per dst, merged in the
+    reduce with the same min-tie-break argmax as the dataframe path
+    (combine_mode). Tests assert exact equality with the dataframe
+    formulation.
+    """
+    import tempfile
+
+    from graftpark.blocks import (
+        bucket_col,
+        ensure_edge_blocks,
+        pack_fn,
+        packed_expand_fn,
+        packed_finish_mode_fn,
+        packed_gather_mode_fn,
+        vertex_sidecar_writer,
+    )
+    from graftpark.kernels.pagerank import _superstep_confs
+    from graftpark.loop import iterate
+
+    spark = graph.spark
+    if block_dir is None:
+        block_dir = tempfile.mkdtemp(prefix="graftpark-blocks-sym-")
+    ensure_edge_blocks(graph.edges_sym(), n_part, block_dir, sym=True)
+
+    vdf = (
+        graph.vertices()
+        .select("id", F.lit(0).alias("out_deg"), bucket_col("id", n_part).cast("int").alias("bucket"))
+        .persist()
+    )
+    vdf.groupBy("bucket").applyInPandas(
+        vertex_sidecar_writer(block_dir), schema="bucket int, n long"
+    ).count()
+
+    packed_schema = "bucket int, payload binary, delta double, dangling double, active long"
+    init = (
+        vdf.select("id", F.col("id").alias("label"), "bucket")
+        .groupBy("bucket")
+        .applyInPandas(pack_fn(block_dir, "label", "int64"), schema=packed_schema)
+    )
+    gather = packed_gather_mode_fn(block_dir, n_part)
+    finish = packed_finish_mode_fn(block_dir, n_part)
+    msg_schema = "bucket int, src_bucket int, payload binary"
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        msgs = state.mapInPandas(gather, schema=msg_schema)
+        return msgs.groupBy("bucket").applyInPandas(finish, schema=packed_schema)
+
+    def observe_cols() -> dict:
+        return {"changed": F.sum("active")}
+
+    def stats(observed: dict, prev: DataFrame, i: int) -> dict:
+        changed = int(observed["changed"] or 0)
+        return {"delta": float(changed), "active": changed}
+
+    with _superstep_confs(spark):
+        res = iterate(
+            init,
+            step,
+            stats,
+            converged_fn=lambda rec: rec["active"] == 0,
+            max_supersteps=max_supersteps,
+            observe_cols=observe_cols,
+        )
+    vdf.unpersist()
+    expanded = res.state.mapInPandas(
+        packed_expand_fn(block_dir, "int64", "label"), schema="id long, label long"
+    )
+    return LoopResult(state=expanded, metrics=res.metrics,
+                      supersteps=res.supersteps, converged=res.converged)
 
 
 def labels_df(result: LoopResult) -> DataFrame:

@@ -140,3 +140,27 @@ def test_cc_packed_two_components(spark, tmp_path):
     g = Graph.from_edge_list(spark, edges, n=n, directed=directed)
     b = _comps(connected_components(g, strategy="packed", block_dir=str(tmp_path / "blk")))
     assert b == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
+
+
+def test_lp_packed_matches_dataframe(spark, powerlaw_graph, tmp_path):
+    """Packed mode-semiring LP (variable-length label-count messages)
+    equals the dataframe formulation exactly."""
+    a = {r["id"]: r["label"]
+         for r in label_propagation(powerlaw_graph, strategy="dataframe",
+                                    max_supersteps=5).state.collect()}
+    b = {r["id"]: r["label"]
+         for r in label_propagation(powerlaw_graph, strategy="packed", max_supersteps=5,
+                                    block_dir=str(tmp_path / "blk")).state.collect()}
+    assert a == b
+
+
+def test_lp_packed_fixture(spark, tmp_path):
+    from graftpark.fixtures import G30_HUB
+    n, directed, edges = G30_HUB
+    g = Graph.from_edge_list(spark, edges, n=n, directed=directed)
+    a = {r["id"]: r["label"]
+         for r in label_propagation(g, strategy="dataframe", max_supersteps=3).state.collect()}
+    b = {r["id"]: r["label"]
+         for r in label_propagation(g, strategy="packed", max_supersteps=3,
+                                    block_dir=str(tmp_path / "blk")).state.collect()}
+    assert a == b
