@@ -96,12 +96,24 @@ def write_edge_blocks(edges: DataFrame, num_buckets: int, path: str, sym: bool =
     Columns written: (src, dst, dst_bucket); directory key = src_bucket.
     Done ONCE per graph; every superstep reads only worker-cached blocks.
 
-    A ``meta.json`` records (num_buckets, n_edges, sym, generation token)
-    so a later call can detect a mismatched reuse of the directory
-    (different bucket count, directed vs symmetrized edges, changed
-    source graph) instead of silently dropping/misrouting edges.
+    A ``meta.json`` records (num_buckets, n_edges, sym, content
+    fingerprint, generation token) so a later call can detect a
+    mismatched reuse of the directory (different bucket count, directed
+    vs symmetrized edges, changed source graph — including a DIFFERENT
+    graph with the same edge count, via the order-independent
+    ``bit_xor(xxhash64(src, dst))`` fingerprint) instead of silently
+    dropping/misrouting edges.
     """
+    import shutil
     import uuid
+
+    # Explicit delete: the overwrite mode only clears parquet partitions,
+    # and under partitionOverwriteMode=dynamic would leave stale
+    # meta.json/_npy/_vertices/_finish sidecars (and the root meta.json
+    # breaks the validation re-read below). Never depend on the
+    # static-overwrite default for sidecar hygiene.
+    if os.path.isdir(path):
+        shutil.rmtree(path, ignore_errors=True)
 
     b = (
         edges.select(
@@ -116,11 +128,18 @@ def write_edge_blocks(edges: DataFrame, num_buckets: int, path: str, sym: bool =
         .sortWithinPartitions("dst")
     )
     b.write.partitionBy("src_bucket").mode("overwrite").parquet(path)
-    # metadata-only count of the parquet just written (no data scan)
-    n_edges = edges.sparkSession.read.parquet(path).count()
+    # one validation scan of the parquet just written: row count + an
+    # order-independent content fingerprint (also proves the files read
+    # back cleanly before any kernel trusts them)
+    row = (
+        edges.sparkSession.read.parquet(path)
+        .agg(F.count("*").alias("n"), _fingerprint_agg().alias("fp"))
+        .collect()[0]
+    )
     meta = {
         "num_buckets": int(num_buckets),
-        "n_edges": int(n_edges),
+        "n_edges": int(row["n"]),
+        "fingerprint": int(row["fp"]),
         "sym": bool(sym),
         "token": uuid.uuid4().hex,
     }
@@ -131,24 +150,49 @@ def write_edge_blocks(edges: DataFrame, num_buckets: int, path: str, sym: bool =
     return path
 
 
-def ensure_edge_blocks(edges: DataFrame, num_buckets: int, path: str, sym: bool = False) -> str:
+def _fingerprint_agg() -> F.Column:
+    """Order-independent edge-content fingerprint: XOR of per-edge
+    xxhash64(src, dst). Zero for the empty edge set."""
+    return F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0))
+
+
+def edge_stats(edges: DataFrame) -> tuple[int, int]:
+    """(n_edges, fingerprint) of an edge DataFrame in ONE job."""
+    row = edges.agg(F.count("*").alias("n"), _fingerprint_agg().alias("fp")).collect()[0]
+    return int(row["n"]), int(row["fp"])
+
+
+def ensure_edge_blocks(
+    edges: DataFrame,
+    num_buckets: int,
+    path: str,
+    sym: bool = False,
+    stats: tuple[int, int] | None = None,
+) -> str:
     """Build the block directory unless a COMPLETE, MATCHING one exists.
 
     Reuse requires: `_SUCCESS` marker (a crashed partial write never
-    passes), meta.json present, and (num_buckets, sym, edge count) all
-    matching the requested build — otherwise the directory is rebuilt
-    in place with a fresh generation token (which invalidates worker
-    caches). The edge-count probe is one metadata/cached-count job,
-    negligible next to the superstep loop it protects.
+    passes), meta.json present, and (num_buckets, sym, edge count,
+    content fingerprint) all matching the requested build — otherwise
+    the directory is rebuilt in place with a fresh generation token
+    (which invalidates worker caches). The fingerprint catches a
+    different graph with the same edge count reusing a stale block_dir
+    (same-vertices-different-topology would otherwise pass every check).
+
+    ``stats`` = precomputed ``(n_edges, fingerprint)`` (see
+    :func:`edge_stats`); pass it when the caller can cache it — e.g.
+    ``Graph.edge_stats()`` — so repeated kernel calls on the same graph
+    skip the E-row validation scan entirely.
     """
     meta = _read_meta(path) if os.path.exists(os.path.join(path, "_SUCCESS")) else None
     if (
         meta is not None
         and meta.get("num_buckets") == int(num_buckets)
         and meta.get("sym") == bool(sym)
-        and meta.get("n_edges") == edges.count()
     ):
-        return path
+        n, fp = stats if stats is not None else edge_stats(edges)
+        if meta.get("n_edges") == n and meta.get("fingerprint") == fp:
+            return path
     return write_edge_blocks(edges, num_buckets, path, sym=sym)
 
 

@@ -119,6 +119,7 @@ class Graph:
         self._persisted: list[DataFrame] = []
         self._edges_sym: DataFrame | None = None
         self._degrees: DataFrame | None = None
+        self._edge_stats: dict[bool, tuple[int, int]] = {}
 
     # -- construction -------------------------------------------------
     @classmethod
@@ -218,6 +219,18 @@ class Graph:
         if self._edges_sym is None:
             self._edges_sym = symmetrize(self.edges)
         return self._edges_sym
+
+    def edge_stats(self, sym: bool = False) -> tuple[int, int]:
+        """Cached ``(n_edges, content_fingerprint)`` of the directed or
+        symmetrized edge table — computed once per Graph, so repeated
+        kernel calls sharing a block_dir skip the E-row validation scan
+        (`ensure_edge_blocks` consumes this as its ``stats`` hint)."""
+        if sym not in self._edge_stats:
+            from graftpark.blocks import edge_stats
+
+            df = self.edges_sym() if sym else self.edges
+            self._edge_stats[sym] = edge_stats(df)
+        return self._edge_stats[sym]
 
     def degrees(self) -> DataFrame:
         """(id, out_deg, in_deg, deg); deg over the symmetrized view."""

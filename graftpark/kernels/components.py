@@ -141,7 +141,7 @@ def _cc_csr(
     # _SUCCESS + meta validation (bucket count, symmetrized flag, edge
     # count): a crashed partial write or a directory built from pagerank's
     # DIRECTED edges is rebuilt instead of silently reused
-    ensure_edge_blocks(graph.edges_sym(), n_part, block_dir, sym=True)
+    ensure_edge_blocks(graph.edges_sym(), n_part, block_dir, sym=True, stats=graph.edge_stats(sym=True))
 
     init = (
         graph.vertices()
@@ -256,7 +256,7 @@ def _cc_packed(
     spark = graph.spark
     if block_dir is None:
         block_dir = tempfile.mkdtemp(prefix="graftpark-blocks-sym-")
-    ensure_edge_blocks(graph.edges_sym(), n_part, block_dir, sym=True)
+    ensure_edge_blocks(graph.edges_sym(), n_part, block_dir, sym=True, stats=graph.edge_stats(sym=True))
 
     vdf = (
         graph.vertices()
@@ -405,10 +405,18 @@ def connected_components_twophase(
         if checkpointer is not None:
             checkpointer.record_metrics(rec)
     # final stars point child → component-min root; roots + isolated
-    # vertices map to themselves
+    # vertices map to themselves. min() per id: at the fixed point each
+    # child carries exactly one root, but if max_rounds cut the loop
+    # short a vertex can still hold two candidate roots — aggregating
+    # keeps the one-row-per-id state contract (and makes the unconverged
+    # output deterministic) at the cost of one V-row combine.
     comps = (
         graph.vertices()
-        .join(e.select(F.col("u").alias("id"), F.col("v").alias("root")), "id", "left")
+        .join(
+            e.groupBy(F.col("u").alias("id")).agg(F.min("v").alias("root")),
+            "id",
+            "left",
+        )
         .select("id", F.coalesce("root", "id").alias("comp"))
     )
     return LoopResult(state=comps, metrics=metrics, supersteps=rounds, converged=converged)

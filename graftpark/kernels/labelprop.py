@@ -152,7 +152,7 @@ def _lp_csr(
         block_dir = tempfile.mkdtemp(prefix="graftpark-blocks-sym-")
     # complete-and-matching check (see components._cc_csr): crashed partial
     # writes and directed-vs-symmetrized block_dir mixups rebuild loudly
-    ensure_edge_blocks(graph.edges_sym(), n_part, block_dir, sym=True)
+    ensure_edge_blocks(graph.edges_sym(), n_part, block_dir, sym=True, stats=graph.edge_stats(sym=True))
 
     init = (
         graph.vertices()
@@ -274,7 +274,7 @@ def _lp_packed(
     spark = graph.spark
     if block_dir is None:
         block_dir = tempfile.mkdtemp(prefix="graftpark-blocks-sym-")
-    ensure_edge_blocks(graph.edges_sym(), n_part, block_dir, sym=True)
+    ensure_edge_blocks(graph.edges_sym(), n_part, block_dir, sym=True, stats=graph.edge_stats(sym=True))
 
     vdf = (
         graph.vertices()

@@ -248,7 +248,7 @@ def _pagerank_csr(
     spark = graph.spark
     if block_dir is None:
         block_dir = tempfile.mkdtemp(prefix="graftpark-blocks-")
-    ensure_edge_blocks(graph.edges, n_part, block_dir, sym=False)
+    ensure_edge_blocks(graph.edges, n_part, block_dir, sym=False, stats=graph.edge_stats(sym=False))
 
     out_deg = graph.edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_deg"))
     init = (
@@ -424,7 +424,7 @@ def _pagerank_packed(
     spark = graph.spark
     if block_dir is None:
         block_dir = tempfile.mkdtemp(prefix="graftpark-blocks-")
-    ensure_edge_blocks(graph.edges, n_part, block_dir, sym=False)
+    ensure_edge_blocks(graph.edges, n_part, block_dir, sym=False, stats=graph.edge_stats(sym=False))
 
     out_deg = graph.edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_deg"))
     vdf = (

@@ -33,8 +33,12 @@ def attach_blobs(documents: DataFrame, doc_id: str = "doc_id", content: str = "c
     The utf-8 bytes of ``content`` become the opaque payload; metadata
     is derived deterministically (so tests and oracles can replay it).
     Stand-in for reading real image/audio bytes from object storage.
+
+    Metadata derives from the BYTE length of the payload (not the
+    character length of the source string) so it agrees with
+    ``octet_length``-based oracles on non-ASCII content too.
     """
-    n = F.length(F.col(content))
+    n = F.length(F.encode(F.col(content), "utf-8"))
     return documents.select(
         F.col(doc_id).alias("doc_id"),
         F.element_at(
@@ -146,6 +150,19 @@ def image_features(blobs: DataFrame) -> DataFrame:
     )
 
 
+def _nn_indices(n_in: int, n_out: int):
+    """Nearest-neighbor sample indices: round-half-up of
+    ``i * (n_in-1) / (n_out-1)`` in EXACT integer math — deterministic
+    and replicable in plain SQL (no float rounding-mode dependence,
+    unlike ``np.linspace().round()``'s round-half-even)."""
+    import numpy as np
+
+    if n_out <= 1:
+        return np.zeros(max(n_out, 0), dtype=np.int64)
+    i = np.arange(n_out, dtype=np.int64)
+    return (2 * i * (n_in - 1) + (n_out - 1)) // (2 * (n_out - 1))
+
+
 def resize_images(blobs: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Nearest-neighbor resize of the decoded pixel grid, re-emitted as a
     binary payload with updated metadata (shape contract of a real
@@ -159,8 +176,8 @@ def resize_images(blobs: DataFrame, out_w: int, out_h: int) -> DataFrame:
             rows = []
             for r in pdf.itertuples(index=False):
                 px = _decode_pixels(r.data, int(r.width), int(r.height))
-                yi = np.linspace(0, px.shape[0] - 1, out_h).round().astype(int)
-                xi = np.linspace(0, px.shape[1] - 1, out_w).round().astype(int)
+                yi = _nn_indices(px.shape[0], out_h)
+                xi = _nn_indices(px.shape[1], out_w)
                 small = px[np.ix_(yi, xi)]
                 rows.append((r.doc_id, "image", small.tobytes(), out_w, out_h))
             yield pd.DataFrame(rows, columns=["doc_id", "kind", "data", "width", "height"])

@@ -46,6 +46,37 @@ def test_ensure_rebuilds_on_sym_mismatch_and_graph_change(spark, tmp_path):
     assert _token(d) != t2  # same shape, different edge count: rebuilt
 
 
+def test_ensure_rebuilds_on_same_count_different_topology(spark, tmp_path):
+    """The content fingerprint catches a DIFFERENT graph with the SAME
+    edge count silently reusing a stale block_dir (bucket count, sym
+    flag and n_edges all match — only bit_xor(xxhash64(src,dst)) can
+    tell them apart)."""
+    n, directed, edges = G6_TWO_COMP
+    g = Graph.from_edge_list(spark, edges, n=n, directed=directed)
+    d = str(tmp_path / "blk")
+    ensure_edge_blocks(g.edges, 4, d)
+    t1 = _token(d)
+    rewired = [(u, (v % n) + 1) for u, v in edges]  # same count, new topology
+    rewired = [(u, v if u != v else (v % n) + 1) for u, v in rewired]
+    g2 = Graph.from_edge_list(spark, rewired, n=n, directed=directed)
+    assert g2.edges.count() == g.edges.count()  # the interesting case
+    ensure_edge_blocks(g2.edges, 4, d)
+    assert _token(d) != t1  # fingerprint mismatch: rebuilt
+    # cached-stats hint path: no rebuild on true reuse
+    t2 = _token(d)
+    ensure_edge_blocks(g2.edges, 4, d, stats=g2.edge_stats())
+    assert _token(d) == t2
+
+
+def test_graph_edge_stats_cached(spark):
+    """Second kernel call on the same graph must reuse the cached
+    (count, fingerprint) pair — no extra E-row job."""
+    n, directed, edges = G6_TWO_COMP
+    g = Graph.from_edge_list(spark, edges, n=n, directed=directed)
+    s1 = g.edge_stats(sym=True)
+    assert g.edge_stats(sym=True) is s1  # same tuple object: cache hit
+
+
 def test_ensure_rebuilds_partial_write(spark, tmp_path):
     n, directed, edges = G30_HUB
     g = Graph.from_edge_list(spark, edges, n=n, directed=directed)

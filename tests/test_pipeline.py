@@ -198,7 +198,21 @@ def test_ann_index_probe_reuses_cached_signatures(spark, embeddings):
         assert got[0] == 0 and 1 in got
         plan = ann_probe(idx, q, k=3)._jdf.queryExecution().executedPlan().toString()
         assert "InMemoryTableScan" in plan  # probe reads the cached index
-        # and the probe plan does no signature arithmetic (no dot-product fold)
-        assert "aggregate(" not in plan.split("InMemoryTableScan")[0].lower() or True
+        # and the probe side (above the cached scan) does no signature
+        # arithmetic: hyperplane sign bits compile to CASE WHEN chains
+        # (lsh_signature_col), while cosine scoring is pure aggregate/
+        # zip_with lambdas — so any CASE WHEN upstream of the scan means
+        # signatures were recomputed per probe
+        above_scan = plan.split("InMemoryTableScan")[0]
+        assert "CASE WHEN" not in above_scan
+        # sanity that the marker fires on a regression: the one-shot
+        # inline path (ann_lsh_topk) DOES fold signatures into the scan
+        from graftpark.pipeline.similarity import ann_lsh_topk
+
+        inline_plan = (
+            ann_lsh_topk(df, q, k=3, n_planes=6, probe_hamming=1)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CASE WHEN" in inline_plan
     finally:
         idx.unpersist()
