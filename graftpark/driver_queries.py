@@ -132,6 +132,17 @@ def q_triangles_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(n,)], "triangles LONG")
 
 
+def q_triangles_per_vertex_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle membership via the edge-iterator plan
+    (kernels/triangles.py) — each triangle credits its three corners."""
+    from graftpark.kernels.triangles import triangles_per_vertex
+
+    g = Graph(nation_edges_from_testdata(spark, sf_dir))
+    out = triangles_per_vertex(g)
+    g.unpersist()
+    return out
+
+
 def q_label_prop_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = Graph(nation_edges_from_testdata(spark, sf_dir))
     res = label_propagation(g, max_supersteps=LP_STEPS)
@@ -270,6 +281,18 @@ c AS (SELECT src AS u, dst AS v FROM ns WHERE src < dst)
 SELECT COUNT(*) AS triangles
 FROM c a JOIN c b ON a.v = b.u JOIN c t ON t.u = a.u AND t.v = b.v
 """,
+    "triangles_per_vertex_nation": f"""
+WITH {_NATION_CTE.strip()},
+c AS (SELECT src AS u, dst AS v FROM ns WHERE src < dst),
+tri AS (
+  SELECT a.u AS x, a.v AS y, b.v AS z
+  FROM c a JOIN c b ON a.v = b.u JOIN c t ON t.u = a.u AND t.v = b.v),
+corners AS (
+  SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
+cnt AS (SELECT id, COUNT(*) AS c FROM corners GROUP BY id)
+SELECT nv.id AS id, COALESCE(cnt.c, 0) AS triangles
+FROM nv LEFT JOIN cnt ON cnt.id = nv.id
+""",
     "label_prop_nation": _label_prop_sql(),
     "bfs_levels_nation": f"""
 WITH RECURSIVE {_NATION_CTE.strip()},
@@ -321,6 +344,7 @@ QUERIES = {
     "cc_twophase": q_cc_twophase,
     "cc_bipartite": q_cc_bipartite,
     "triangles_nation": q_triangles_nation,
+    "triangles_per_vertex_nation": q_triangles_per_vertex_nation,
     "label_prop_nation": q_label_prop_nation,
     "label_prop_csr": q_label_prop_csr,
     "bfs_levels_nation": q_bfs_levels_nation,

@@ -71,20 +71,40 @@ def triangle_count(graph: Graph) -> int:
 
 
 def triangles_per_vertex(graph: Graph) -> DataFrame:
-    """``(id, triangles)`` — each closed wedge credits all three corners."""
-    d = oriented_edges(graph)
-    a, b, c = d.alias("a"), d.alias("b"), d.alias("c")
-    tri = (
-        a.join(b, (F.col("a.u") == F.col("b.u")) & (F.col("a.v_key") < F.col("b.v_key")))
-        .join(c, (F.col("a.v") == F.col("c.u")) & (F.col("b.v") == F.col("c.v")))
-        .select(F.col("a.u").alias("x"), F.col("a.v").alias("y"), F.col("b.v").alias("z"))
+    """``(id, triangles)`` — each triangle credits all three corners.
+
+    Same edge-iterator plan as :func:`triangle_count` (adjacency-array
+    ``array_intersect``; the O(Σ out_deg²) wedge set is never built).
+    Every triangle is found exactly once, at the oriented edge joining
+    its two lowest-key corners; corner credit is emitted in ONE pass by
+    exploding, per edge (u, v), the 2 + |N⁺(u) ∩ N⁺(v)| credit structs —
+    u and v each earn |intersection|, each closing vertex w earns 1. The
+    exploded row count is 2·E + 3·T (T = triangle total), shuffled with
+    map-side partial aggregation — no O(√E)-array shuffle and nothing
+    proportional to the wedge count.
+    """
+    d = oriented_edges(graph).select("u", "v")
+    adj = d.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
+    # see triangle_count for the broadcast-vs-shuffled-hash note
+    credits = (
+        d.join(F.broadcast(adj), "u")
+        .join(F.broadcast(adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nbrs_v"))), "v")
+        .select("u", "v", F.array_intersect("nbrs", "nbrs_v").alias("common"))
+        .where(F.size("common") > 0)
+        .select(
+            F.explode(
+                F.concat(
+                    F.array(
+                        F.struct(F.col("u").alias("id"), F.size("common").cast("long").alias("c")),
+                        F.struct(F.col("v").alias("id"), F.size("common").cast("long").alias("c")),
+                    ),
+                    F.transform("common", lambda w: F.struct(w.alias("id"), F.lit(1).cast("long").alias("c"))),
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.id").alias("id"), F.col("e.c").alias("c"))
     )
-    corners = (
-        tri.select(F.col("x").alias("id"))
-        .union(tri.select(F.col("y").alias("id")))
-        .union(tri.select(F.col("z").alias("id")))
-    )
-    counts = corners.groupBy("id").agg(F.count("*").alias("triangles"))
+    counts = credits.groupBy("id").agg(F.sum("c").alias("triangles"))
     return (
         graph.vertices()
         .join(counts, "id", "left")

@@ -155,6 +155,21 @@ def triangle_count(edges):
     return count
 
 
+def triangles_per_vertex(edges, vertices=None):
+    """Exact per-vertex triangle membership counts (corner sums)."""
+    adj = _adj(edges, symmetric=True)
+    counts = {v: 0 for v in (vertices or adj)}
+    for u in adj:
+        for v in adj[u]:
+            if v <= u:
+                continue
+            for w in adj[v]:
+                if w > v and w in adj[u]:
+                    for x in (u, v, w):
+                        counts[x] = counts.get(x, 0) + 1
+    return counts
+
+
 def greedy_coloring(edges, vertices, order):
     """Sequential greedy coloring in the given order (reference C1,
     src/traversals/coloring/greedy_coloring_seq.jl:12-36). Colors 1-based."""

@@ -74,3 +74,28 @@ def test_triangles_per_vertex(spark):
     # triangles {5,6,7} and {6,7,8}
     assert got == {1: 0, 2: 0, 3: 0, 4: 0, 5: 1, 6: 2, 7: 2, 8: 1}
     g.unpersist()
+
+
+def test_triangles_per_vertex_ba_matches_oracle_and_plan_shape(spark):
+    """Per-vertex counts equal the corner-sum oracle on a power-law
+    graph, and the plan is the edge-iterator formulation: no wedge-sized
+    3-way self-join — the only joins are the two adjacency-array probes,
+    and explode fan-out is bounded by 2E + 3T."""
+    ba = barabasi_albert(80, 3, seed=7)
+    g = Graph.from_edge_list(spark, ba, n=80, directed=False)
+    df = triangles_per_vertex(g)
+    got = {r["id"]: r["triangles"] for r in df.collect()}
+    expect = oracles.triangles_per_vertex(ba, vertices=range(1, 81))
+    assert got == expect
+    # global-count consistency: corner sums are 3x the triangle total
+    assert sum(got.values()) == 3 * oracles.triangle_count(ba)
+    lp = df._jdf.queryExecution().optimizedPlan().toString()
+    # edge-iterator markers: exactly one Generate (the credit explode)
+    # and the intersection probe; the old wedge formulation had neither —
+    # it was a 3-way self-join on (a.u = b.u) AND (a.v_key < b.v_key)
+    assert sum("Generate" in l for l in lp.splitlines()) == 1
+    assert "array_intersect" in lp
+    assert not any(
+        "v_key" in l and "<" in l for l in lp.splitlines() if "Join Inner, (" in l
+    )
+    g.unpersist()
