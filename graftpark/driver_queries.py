@@ -49,8 +49,54 @@ ne AS MATERIALIZED (
 ns AS MATERIALIZED (SELECT src, dst FROM ne UNION SELECT dst, src FROM ne),
 nv AS (SELECT DISTINCT src AS id FROM ns)"""
 
+#: parity-filtered nation graph — keep a directed nation pair iff its
+#: supporting (order, lineitem) row count is odd. Data-derived, sparser
+#: than the (complete at sf>=0.01) nation graph, so MIS rounds select
+#: multi-vertex independent sets — the nontrivial coloring fixture.
+_NATION_SPARSE_CTE = """
+nef AS MATERIALIZED (
+  SELECT CAST(c_nationkey AS BIGINT) AS src, CAST(s_nationkey AS BIGINT) AS dst
+  FROM orders
+  JOIN lineitem ON o_orderkey = l_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE c_nationkey <> s_nationkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) % 2 = 1
+),
+nsf AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (SELECT src, dst FROM nef UNION ALL SELECT dst, src FROM nef)
+),
+nvf AS (SELECT DISTINCT src AS id FROM nsf)"""
+# ^ dedup via DISTINCT-over-UNION-ALL, not bare UNION: inside a WITH
+# RECURSIVE block (the greedy-coloring oracle) DuckDB 1.0 gives the
+# plain UNION of even non-recursive CTEs union-all semantics, silently
+# doubling every symmetrized degree.
+
 
 # ---------------------------------------------------------------- queries
+
+def sparse_nation_edges_from_testdata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of ``_NATION_SPARSE_CTE`` (parity-filtered nation pairs)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .select(
+            F.col("c_nationkey").cast("long").alias("src"),
+            F.col("s_nationkey").cast("long").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .count()
+        .where(F.col("count") % 2 == 1)
+        .select("src", "dst")
+    )
+
 
 def q_edges_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges_from_testdata(spark, sf_dir)
@@ -160,6 +206,48 @@ def q_label_prop_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_mis_coloring_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Luby-style MIS coloring (reference C7,
+    BLAS_coloring.jl:8-216) on the dense nation graph. Deterministic by
+    construction (static injective priorities w = deg·(n+1) + (n − id)),
+    so the DuckDB oracle unrolls the exact rounds in SQL."""
+    from graftpark.kernels.coloring import mis_coloring
+
+    g = Graph(nation_edges_from_testdata(spark, sf_dir))
+    res = mis_coloring(g)
+    out = res.state.select("id", "color")
+    g.unpersist()
+    return out
+
+
+def q_mis_coloring_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same kernel on the parity-filtered nation graph — sparse enough
+    that each outer round's maximal independent set takes 2-3 inner
+    rounds to build (the complete nation graph degenerates to one
+    vertex per color), exercising the knockout/accumulate dataflow."""
+    from graftpark.kernels.coloring import mis_coloring
+
+    g = Graph(sparse_nation_edges_from_testdata(spark, sf_dir))
+    res = mis_coloring(g)
+    out = res.state.select("id", "color")
+    g.unpersist()
+    return out
+
+
+def q_greedy_coloring_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential largest-degree-first greedy coloring (reference C4,
+    greedy_coloring_seq.jl:76-79) on the parity-filtered nation graph.
+    Loop-carried per-vertex dependence → driver-side oracle kernel; the
+    DuckDB oracle replays the same scan as a recursive CTE carrying the
+    partial assignment as a STRUCT list."""
+    from graftpark.kernels.coloring import greedy_coloring
+
+    g = Graph(sparse_nation_edges_from_testdata(spark, sf_dir))
+    df, _ = greedy_coloring(g, order="degree")
+    g.unpersist()
+    return df.select("id", "color")
+
+
 def q_bfs_levels_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = Graph(nation_edges_from_testdata(spark, sf_dir))
     source = g.vertices().agg(F.min("id")).collect()[0][0]
@@ -226,6 +314,63 @@ def _label_prop_sql() -> str:
         )
     parts[-1] = parts[-1].rstrip(",")
     parts.append(f"SELECT id, label FROM l{LP_STEPS}")
+    return "\n".join(parts)
+
+
+def _mis_coloring_sql(prefix_cte: str, sym: str, verts: str, n_outer: int, n_inner: int) -> str:
+    """Unrolled deterministic Luby-MIS coloring (kernels/coloring.py
+    mis_coloring) as pure SQL, mirroring label_prop's unrolled oracle.
+
+    Static injective priorities w(v) = deg(v)·(n+1) + (n − v). Outer
+    round o: build a maximal IS over the uncolored set in ≤ n_inner
+    inner rounds (select local weight maxima among candidates, knock
+    out their neighbors), assign color o. Rounds beyond the fixed point
+    are no-ops (empty selections), so the bounds only need to EXCEED
+    the deterministic round counts (measured at sf0.01: complete nation
+    graph 25 outer × 1 inner; sparse 10 outer × ≤3 inner). Every CTE is
+    MATERIALIZED — candidate sets are referenced 3× per round and
+    DuckDB would otherwise inline them exponentially down the chain.
+    """
+    parts = [
+        "WITH " + prefix_cte.strip() + ",",
+        f"deg_m AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg FROM {sym} GROUP BY src),",
+        f"nn_m AS MATERIALIZED (SELECT COUNT(*) AS n FROM {verts}),",
+        f"""w_m AS MATERIALIZED (
+  SELECT v.id,
+         COALESCE(d.deg, 0) * ((SELECT n FROM nn_m) + 1) + ((SELECT n FROM nn_m) - v.id) AS w
+  FROM {verts} v LEFT JOIN deg_m d ON d.id = v.id),""",
+        "unc_0 AS MATERIALIZED (SELECT id, w FROM w_m),",
+        "col_0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS INT) AS color WHERE 1 = 0),",
+    ]
+    for o in range(1, n_outer + 1):
+        parts.append(f"cand_{o}_0 AS MATERIALIZED (SELECT id, w FROM unc_{o - 1}),")
+        for i in range(1, n_inner + 1):
+            parts.append(
+                f"""sel_{o}_{i} AS MATERIALIZED (
+  SELECT c.id, c.w FROM cand_{o}_{i - 1} c
+  LEFT JOIN (SELECT s.dst AS id, MAX(c2.w) AS mw
+             FROM {sym} s JOIN cand_{o}_{i - 1} c2 ON c2.id = s.src
+             GROUP BY s.dst) m ON m.id = c.id
+  WHERE m.mw IS NULL OR c.w > m.mw),"""
+            )
+            parts.append(
+                f"""cand_{o}_{i} AS MATERIALIZED (
+  SELECT c.id, c.w FROM cand_{o}_{i - 1} c
+  WHERE c.id NOT IN (SELECT id FROM sel_{o}_{i})
+    AND c.id NOT IN (SELECT s.dst FROM {sym} s JOIN sel_{o}_{i} x ON x.id = s.src)),"""
+            )
+        sel_union = " UNION ".join(f"SELECT id FROM sel_{o}_{i}" for i in range(1, n_inner + 1))
+        parts.append(f"is_{o} AS MATERIALIZED ({sel_union}),")
+        parts.append(
+            f"col_{o} AS MATERIALIZED (SELECT id, color FROM col_{o - 1} "
+            f"UNION ALL SELECT id, {o} AS color FROM is_{o}),"
+        )
+        parts.append(
+            f"unc_{o} AS MATERIALIZED (SELECT u.id, u.w FROM unc_{o - 1} u "
+            f"WHERE u.id NOT IN (SELECT id FROM is_{o})),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT id, CAST(color AS INT) AS color FROM col_{n_outer}")
     return "\n".join(parts)
 
 
@@ -324,6 +469,44 @@ SELECT id, id AS parent FROM src0
 """,
 }
 
+def _greedy_coloring_sql() -> str:
+    """Sequential degree-ordered greedy as ONE recursive CTE: each
+    iteration colors the next vertex in (deg DESC, id ASC) order with
+    the smallest color absent from its already-colored neighborhood —
+    the partial assignment travels through the recursion as a STRUCT
+    list (the loop-carried dependence SQL cannot parallelize either)."""
+    used = (
+        "list_transform(list_filter(r.acc, a -> list_contains(nb.nb, a.id)), a -> a.c)"
+    )
+    return f"""
+WITH RECURSIVE {_NATION_SPARSE_CTE.strip()},
+degq AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg FROM nsf GROUP BY src),
+ordq AS MATERIALIZED (
+  SELECT v.id, ROW_NUMBER() OVER (ORDER BY COALESCE(d.deg, 0) DESC, v.id ASC) AS rn
+  FROM nvf v LEFT JOIN degq d ON d.id = v.id),
+nbq AS MATERIALIZED (
+  SELECT o.rn, list(s.dst) AS nb FROM ordq o LEFT JOIN nsf s ON s.src = o.id GROUP BY o.rn),
+rec(rn, acc) AS (
+  SELECT 0, []::STRUCT(id BIGINT, c INT)[]
+  UNION ALL
+  SELECT r.rn + 1,
+    r.acc || [{{'id': o.id,
+               'c': CAST(list_min(list_filter(
+                      generate_series(1, len({used}) + 1),
+                      x -> NOT list_contains({used}, x))) AS INT)}}]
+  FROM rec r JOIN ordq o ON o.rn = r.rn + 1 JOIN nbq nb ON nb.rn = r.rn + 1
+),
+fin AS (SELECT acc FROM rec WHERE rn = (SELECT MAX(rn) FROM rec))
+SELECT CAST(a.id AS BIGINT) AS id, CAST(a.c AS INT) AS color
+FROM (SELECT unnest(acc) AS a FROM fin)
+"""
+
+
+ORACLE_SQL["greedy_coloring_sparse"] = _greedy_coloring_sql()
+ORACLE_SQL["mis_coloring_nation"] = _mis_coloring_sql(_NATION_CTE, "ns", "nv", n_outer=27, n_inner=3)
+ORACLE_SQL["mis_coloring_sparse"] = _mis_coloring_sql(
+    _NATION_SPARSE_CTE, "nsf", "nvf", n_outer=14, n_inner=6
+)
 ORACLE_SQL["cc_csr"] = ORACLE_SQL["cc_bipartite"]
 ORACLE_SQL["cc_twophase"] = ORACLE_SQL["cc_bipartite"]
 ORACLE_SQL["label_prop_csr"] = ORACLE_SQL["label_prop_nation"]
@@ -345,6 +528,9 @@ QUERIES = {
     "cc_bipartite": q_cc_bipartite,
     "triangles_nation": q_triangles_nation,
     "triangles_per_vertex_nation": q_triangles_per_vertex_nation,
+    "mis_coloring_nation": q_mis_coloring_nation,
+    "mis_coloring_sparse": q_mis_coloring_sparse,
+    "greedy_coloring_sparse": q_greedy_coloring_sparse,
     "label_prop_nation": q_label_prop_nation,
     "label_prop_csr": q_label_prop_csr,
     "bfs_levels_nation": q_bfs_levels_nation,
