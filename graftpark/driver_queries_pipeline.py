@@ -161,6 +161,35 @@ def q_audio_features(spark, sf_dir):
 
 
 
+#: resize geometry shared by query + oracle
+_RSZ_W, _RSZ_H = 16, 12
+#: frame-sampling stride/limit shared by query + oracle
+_FRAME_BYTES, _FRAME_MAX = 256, 4
+
+
+def q_resize_images(spark, sf_dir):
+    """Nearest-neighbor thumbnail resize (Arrow-batched mapInPandas).
+    The resized payload is compared as hex — both engines render binary
+    as uppercase hex, and the fake decode + exact-integer index math
+    (multimodal.py _nn_indices) make the bytes fully reproducible."""
+    from graftpark.pipeline.multimodal import attach_blobs, resize_images
+
+    out = resize_images(attach_blobs(_docs(spark, sf_dir), content="text"), _RSZ_W, _RSZ_H)
+    return out.select("doc_id", "width", "height", F.hex("data").alias("px_hex"))
+
+
+def q_sample_frames(spark, sf_dir):
+    """Fixed-stride frame sampling (1→N row fan-out mapInPandas); frames
+    compared as hex substrings of the payload."""
+    from graftpark.pipeline.multimodal import attach_blobs, sample_frames
+
+    out = sample_frames(
+        attach_blobs(_docs(spark, sf_dir), content="text"),
+        every_n_bytes=_FRAME_BYTES, max_frames=_FRAME_MAX,
+    )
+    return out.select("doc_id", "frame_idx", F.hex("frame").alias("frame_hex"))
+
+
 def q_embedding_near_dups_lsh(spark, sf_dir):
     """Sign-bit-LSH-bucketed embedding near-dup pairs (the at-scale path:
     banded self-join + exact-cosine verify over candidates only)."""
@@ -469,6 +498,57 @@ LIMIT 10
 """
 
 
+def _resize_oracle_sql() -> str:
+    """Byte-exact replica of resize_images over the fake decoder: tiled
+    pixel j = payload[j % n]; output byte (r, c) is tiled index
+    (nn(h, H, r)·w + nn(w, W, c)) % n with nn(a, b, i) =
+    (2·i·(a−1) + (b−1)) // (2·(b−1)) — the same exact-integer
+    round-half-up the engine uses (multimodal.py _nn_indices)."""
+    W, H = _RSZ_W, _RSZ_H
+    yi = f"((2 * r * (h - 1) + {H - 1}) // {2 * (H - 1)})"
+    xi = f"((2 * c * (w - 1) + {W - 1}) // {2 * (W - 1)})"
+    return f"""
+WITH img AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n,
+         CAST(octet_length(encode(text)) % 64 + 16 AS INT) AS w,
+         CAST(octet_length(encode(text)) % 48 + 16 AS INT) AS h
+  FROM documents WHERE doc_id % 3 = 0),
+idx AS (
+  SELECT doc_id, hx, n,
+    flatten(list_transform(generate_series(0, {H - 1}), r ->
+      list_transform(generate_series(0, {W - 1}), c ->
+        ({yi} * w + {xi}) % n))) AS js
+  FROM img WHERE n > 0)
+SELECT doc_id,
+       CAST({W} AS INT) AS width,
+       CAST({H} AS INT) AS height,
+       array_to_string(list_transform(js, j -> substr(hx, 2 * j + 1, 2)), '') AS px_hex
+FROM idx
+"""
+
+
+def _frames_oracle_sql() -> str:
+    """sample_frames replica: min(max_frames, max(1, n // stride))
+    frames per video payload; frame i = bytes [i·stride, (i+1)·stride)
+    — substr truncates the ragged last frame exactly like the slice."""
+    s2 = 2 * _FRAME_BYTES
+    return f"""
+WITH vid AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id % 3 = 2),
+f AS (
+  SELECT doc_id, hx,
+         unnest(generate_series(0, LEAST({_FRAME_MAX}, GREATEST(1, n // {_FRAME_BYTES})) - 1)) AS i
+  FROM vid)
+SELECT doc_id, CAST(i AS INT) AS frame_idx,
+       substr(hx, i * {s2} + 1, {s2}) AS frame_hex
+FROM f
+"""
+
+
+PIPELINE_ORACLE_SQL["resize_images"] = _resize_oracle_sql()
+PIPELINE_ORACLE_SQL["sample_frames"] = _frames_oracle_sql()
 PIPELINE_ORACLE_SQL["embedding_near_dups_lsh"] = _nd_oracle_sql()
 PIPELINE_ORACLE_SQL["ann_lsh"] = _ann_oracle_sql()
 
@@ -489,4 +569,6 @@ PIPELINE_QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "image_features": q_image_features,
     "audio_features": q_audio_features,
+    "resize_images": q_resize_images,
+    "sample_frames": q_sample_frames,
 }
