@@ -104,12 +104,14 @@ def _probe_buckets(planes, query_vec: list[float], probe_hamming: int) -> list[i
 
 class AnnIndex:
     """A built LSH index: the embedding table with its signature column
-    computed ONCE and persisted. Probes filter buckets from the cached
-    index — no per-query full-scan signature recompute."""
+    computed ONCE — either persisted in memory (session-local) or
+    written as ``_sig``-partitioned parquet (durable; probes prune
+    partition directories). Probes never recompute signatures."""
 
-    def __init__(self, df: DataFrame, planes, id_col: str, vec_col: str):
+    def __init__(self, df: DataFrame, planes, id_col: str, vec_col: str, path: str | None = None):
         self.df, self.planes = df, planes
         self.id_col, self.vec_col = id_col, vec_col
+        self.path = path
 
     def unpersist(self) -> None:
         self.df.unpersist()
@@ -117,21 +119,49 @@ class AnnIndex:
 
 def build_ann_index(
     embeddings: DataFrame, dim: int, n_planes: int = 8, seed: int = 42,
-    id_col: str = "vec_id", vec_col: str = "embedding",
+    id_col: str = "vec_id", vec_col: str = "embedding", path: str | None = None,
 ) -> AnnIndex:
-    """Index-build stage (one scan): signature column + persist.
+    """Index-build stage (one scan): signature column, then either
 
-    At cluster scale the persisted index would instead be written once
-    as parquet bucketed by ``_sig`` so probes prune files; in both cases
-    the probe path never recomputes signatures.
+    - ``path=None`` → persist in memory (session-local index), or
+    - ``path=...`` → write ONCE as parquet **partitioned by ``_sig``**
+      (one directory per signature bucket) plus an ``_ann_meta.json``
+      sidecar (dim / n_planes / seed — the planes are regenerated
+      deterministically at load). A probe's ``_sig IN (...)`` filter
+      becomes a partition filter, so only the probed buckets' files are
+      ever read; the index survives the session and is shared by every
+      executor at cluster scale. Reopen with :func:`load_ann_index`.
     """
     from pyspark.storagelevel import StorageLevel
 
     planes = _hyperplanes(dim, n_planes, seed)
     df = embeddings.withColumn("_sig", lsh_signature_col(F.col(vec_col), planes))
+    if path is not None:
+        import json
+        import os
+
+        df.write.mode("overwrite").partitionBy("_sig").parquet(path)
+        # '_'-prefixed sidecar: ignored by the parquet reader
+        meta = {"dim": int(dim), "n_planes": int(n_planes), "seed": int(seed),
+                "id_col": id_col, "vec_col": vec_col}
+        with open(os.path.join(path, "_ann_meta.json"), "w") as f:
+            json.dump(meta, f)
+        return AnnIndex(embeddings.sparkSession.read.parquet(path), planes, id_col, vec_col, path=path)
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     df.count()
     return AnnIndex(df, planes, id_col, vec_col)
+
+
+def load_ann_index(spark, path: str) -> AnnIndex:
+    """Reopen a parquet-backed ANN index in a fresh session — no scan,
+    no signature recompute; planes regenerate from the meta sidecar."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ann_meta.json")) as f:
+        meta = json.load(f)
+    planes = _hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
+    return AnnIndex(spark.read.parquet(path), planes, meta["id_col"], meta["vec_col"], path=path)
 
 
 def ann_probe(index: AnnIndex, query_vec: list[float], k: int = 10,

@@ -216,3 +216,39 @@ def test_ann_index_probe_reuses_cached_signatures(spark, embeddings):
         assert "CASE WHEN" in inline_plan
     finally:
         idx.unpersist()
+
+
+def test_ann_parquet_index_prunes_partitions(spark, embeddings, tmp_path):
+    """Durable index: written once as _sig-partitioned parquet; a probe
+    reads a strict subset of the bucket directories (partition pruning)
+    and survives a fresh load with identical results."""
+    import os
+
+    from graftpark.pipeline.similarity import (
+        _probe_buckets, ann_probe, build_ann_index, load_ann_index,
+    )
+
+    df, vecs = embeddings
+    path = str(tmp_path / "ann_idx")
+    idx = build_ann_index(df, dim=8, n_planes=6, path=path)
+    q = [float(x) for x in vecs[0]]
+    got = [r["vec_id"] for r in ann_probe(idx, q, k=3).collect()]
+    assert got[0] == 0 and 1 in got
+
+    # layout: one directory per signature bucket, probe touches a strict subset
+    all_dirs = {d for d in os.listdir(path) if d.startswith("_sig=")}
+    probed = {f"_sig={b}" for b in _probe_buckets(idx.planes, q, 1)} & all_dirs
+    assert probed and len(probed) < len(all_dirs)
+
+    # the probe's _sig IN filter is a PARTITION filter on the scan
+    plan = ann_probe(idx, q, k=3)._jdf.queryExecution().executedPlan().toString()
+    scan_part = plan[plan.index("PartitionFilters"):] if "PartitionFilters" in plan else ""
+    assert "_sig" in scan_part.split("PushedFilters")[0]
+    # and no signature arithmetic above the scan (same marker as the
+    # cached-index test)
+    assert "CASE WHEN" not in plan
+
+    # fresh-session reopen: no rebuild, identical results
+    idx2 = load_ann_index(spark, path)
+    got2 = [r["vec_id"] for r in ann_probe(idx2, q, k=3).collect()]
+    assert got2 == got
