@@ -40,11 +40,16 @@ from graftpark.session import get_spark
 from graftpark.kernels.pagerank import pagerank
 
 cpus = int(os.environ["SPARK_GRAFT_CPUS"])
+# task-slot count may differ from the pinned core budget: the pinned
+# budget carries BOTH the JVM task threads and the Arrow UDF workers, so
+# fewer concurrent tasks than cores can reduce the 2x oversubscription
+# (each in-flight task = 1 JVM thread + 1 Python worker)
+tasks = int(os.environ.get("GRAFTPARK_SCALING_TASKS") or cpus)
 buckets = int(os.environ["GRAFTPARK_SCALING_BUCKETS"])
 data = os.environ["GRAFTPARK_SCALING_DATA"]
 block_dir = os.environ["GRAFTPARK_SCALING_BLOCKS"]
 spark = get_spark(
-    master=f"local[{cpus}]",
+    master=f"local[{tasks}]",
     app_name=f"graftpark-scaling-{cpus}",
     shuffle_partitions=buckets,
     extra={
@@ -113,10 +118,11 @@ def prepare_input(n_edges: int, n_vertices: int, seed: int, path: str) -> None:
 
 
 def run_level(cpus: int, buckets: int, data: str, blocks: str, pin: bool,
-              warmup_only: bool = False) -> dict:
+              warmup_only: bool = False, tasks: int | None = None) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
+        GRAFTPARK_SCALING_TASKS=str(tasks or cpus),
         GRAFTPARK_SCALING_BUCKETS=str(buckets),
         GRAFTPARK_SCALING_DATA=data,
         GRAFTPARK_SCALING_BLOCKS=blocks,
