@@ -65,6 +65,10 @@ spark = get_spark(
         # NVMe (aggregate shuffle bandwidth scales with cluster size on a
         # real cluster; one shared disk does not)
         "spark.local.dir": os.environ.get("GRAFTPARK_SCALING_LOCAL_DIR", "/dev/shm/gp-shuffle"),
+        # experiment overrides, e.g. shuffle compression: lz4 on float
+        # payloads compresses ~nothing but burns JVM CPU inside the pinned
+        # budget, and the tmpfs shuffle is a memcpy either way
+        **json.loads(os.environ.get("GRAFTPARK_SCALING_EXTRA") or "{}"),
     },
 )
 g = Graph(spark.read.parquet(data), assume_normalized=True)
