@@ -147,6 +147,11 @@ def run_level(cpus: int, buckets: int, data: str, blocks: str, pin: bool,
 def main() -> None:
     n_low = int(os.environ.get("GRAFTPARK_SCALING_N", "8"))
     n_high = 4 * n_low
+    # task-slot policy, applied uniformly at BOTH levels (an executor conf,
+    # like spark.executor.cores < physical cores): the pinned budget carries
+    # both the JVM task threads and the Arrow UDF workers, so <1.0 slots per
+    # core trims the 2x oversubscription that inflates the gather tail
+    tasks_ratio = float(os.environ.get("GRAFTPARK_SCALING_TASKS_RATIO", "1.0"))
     n_edges = int(os.environ.get("GRAFTPARK_SCALING_EDGES", "256000000"))
     n_vertices = int(os.environ.get("GRAFTPARK_SCALING_VERTICES", "16000000"))
     buckets = int(os.environ.get("GRAFTPARK_SCALING_BUCKETS", str(n_high)))
@@ -179,11 +184,13 @@ def main() -> None:
 
     def best_of(cpus: int) -> dict:
         samples = []
+        tasks = max(1, round(cpus * tasks_ratio))
         for _ in range(repeats):
             time.sleep(int(os.environ.get("GRAFTPARK_SCALING_SETTLE_S", "30")))
-            samples.append(run_level(cpus, buckets, data, blocks, pin))
+            samples.append(run_level(cpus, buckets, data, blocks, pin, tasks=tasks))
         best = min(samples, key=lambda r: r["mean_superstep_s"])
         best["samples_mean_superstep_s"] = [r["mean_superstep_s"] for r in samples]
+        best["tasks"] = tasks
         return best
 
     low = best_of(n_low)

@@ -57,6 +57,12 @@ _POS_CACHE: dict = {}
 _META_CACHE: dict = {}
 
 
+# Block-dir on-disk layout generation. 2 = partition-perfect bucket ids
+# (see partition_perfect_ids); dirs written by layout 1 (dense 0..B-1
+# ids) are rebuilt on first use.
+_LAYOUT_VERSION = 2
+
+
 def _read_meta(block_dir: str) -> dict | None:
     """Read + cache meta.json, re-reading whenever its mtime changes —
     so a rebuilt block_dir invalidates every worker-side cache keyed on
@@ -119,8 +125,8 @@ def write_edge_blocks(edges: DataFrame, num_buckets: int, path: str, sym: bool =
         edges.select(
             "src",
             "dst",
-            F.pmod(F.hash("dst"), F.lit(num_buckets)).alias("dst_bucket"),
-            F.pmod(F.hash("src"), F.lit(num_buckets)).alias("src_bucket"),
+            bucket_col("dst", num_buckets).alias("dst_bucket"),
+            bucket_col("src", num_buckets).alias("src_bucket"),
         )
         .repartition(num_buckets, "src_bucket")
         # dst-sorted within each bucket: the CSR group boundaries are then a
@@ -141,6 +147,7 @@ def write_edge_blocks(edges: DataFrame, num_buckets: int, path: str, sym: bool =
         "n_edges": int(row["n"]),
         "fingerprint": int(row["fp"]),
         "sym": bool(sym),
+        "layout": _LAYOUT_VERSION,
         "token": uuid.uuid4().hex,
     }
     tmp = os.path.join(path, "meta.json.tmp")
@@ -189,6 +196,7 @@ def ensure_edge_blocks(
         meta is not None
         and meta.get("num_buckets") == int(num_buckets)
         and meta.get("sym") == bool(sym)
+        and meta.get("layout") == _LAYOUT_VERSION
     ):
         n, fp = stats if stats is not None else edge_stats(edges)
         if meta.get("n_edges") == n and meta.get("fingerprint") == fp:
@@ -196,9 +204,83 @@ def ensure_edge_blocks(
     return write_edge_blocks(edges, num_buckets, path, sym=sym)
 
 
+def _murmur3_int32(x: int, seed: int = 42) -> int:
+    """Spark's Murmur3Hash of one IntegerType value (hashInt, seed 42) —
+    the hash HashPartitioning applies to a groupBy('bucket') shuffle."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    k = (x & 0xFFFFFFFF) * c1 & 0xFFFFFFFF
+    k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+    k = k * c2 & 0xFFFFFFFF
+    h = seed ^ k
+    h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+    h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h ^= 4  # total byte length
+    h ^= h >> 16
+    h = h * 0x85EBCA6B & 0xFFFFFFFF
+    h ^= h >> 13
+    h = h * 0xC2B2AE35 & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def _spark_partition_of(bucket_id: int, num_partitions: int) -> int:
+    """Shuffle partition Spark assigns an int32 bucket id (Pmod of the
+    SIGNED Murmur3 hash)."""
+    h = _murmur3_int32(bucket_id)
+    return (h - 0x100000000 if h >= 0x80000000 else h) % num_partitions
+
+
+_PP_CACHE: dict[int, np.ndarray] = {}
+
+
+def partition_perfect_ids(num_buckets: int) -> np.ndarray:
+    """Bucket ids whose Murmur3 placement is one-per-shuffle-partition.
+
+    Naive ids 0..B-1 are balls-in-bins under HashPartitioning: for B=64
+    they land in only 37 of 64 partitions, the worst partition holding
+    FOUR buckets that then run serially in one task. At 8 cores the 64
+    buckets take many waves and the imbalance averages out; at 32 cores
+    (2 nominal waves) the 4-deep partition IS the superstep makespan —
+    measured as the packed path's 8→32 scaling gap. These ids make the
+    bucket-keyed shuffle place bucket ``ids[j]`` exactly in partition j
+    (when spark.sql.shuffle.partitions == num_buckets, which
+    `_superstep_confs` pins inside kernel loops), so every gather/finish
+    stage is ``num_buckets`` equal tasks. Deterministic; int32; max id
+    ~B·ln(B) (coupon-collector search), e.g. 239 for B=64."""
+    ids = _PP_CACHE.get(num_buckets)
+    if ids is None:
+        out = np.full(num_buckets, -1, dtype=np.int32)
+        remaining = num_buckets
+        v = 0
+        while remaining:
+            p = _spark_partition_of(v, num_buckets)
+            if out[p] < 0:
+                out[p] = v
+                remaining -= 1
+            v += 1
+        ids = out
+        _PP_CACHE[num_buckets] = ids
+    return ids
+
+
+def bucket_ids_sorted(num_buckets: int) -> np.ndarray:
+    """Ascending bucket-id universe for ``num_buckets`` (iteration order
+    for per-dst-bucket segment layouts)."""
+    return np.sort(partition_perfect_ids(num_buckets))
+
+
+def _id_span(num_buckets: int) -> int:
+    """Size of an array indexed directly by bucket id (max id + 1)."""
+    return int(partition_perfect_ids(num_buckets).max()) + 1
+
+
 def bucket_col(col: str, num_buckets: int):
-    """The bucket expression shared by edge blocks and vertex state."""
-    return F.pmod(F.hash(col), F.lit(num_buckets))
+    """The bucket expression shared by edge blocks and vertex state:
+    hash-slot the vertex, then relabel the slot with its
+    partition-perfect id (see :func:`partition_perfect_ids`)."""
+    ids = partition_perfect_ids(num_buckets)
+    slot = F.pmod(F.hash(col), F.lit(num_buckets))
+    return F.element_at(F.array(*[F.lit(int(i)) for i in ids]), slot + F.lit(1))
 
 
 _NPY_COLS = ("src_by_dst", "starts", "dst_unique", "dstb_unique")
@@ -551,7 +633,8 @@ def _gather_layout(block_dir: str, bucket: int, blk: dict, num_buckets: int) -> 
         if not os.path.isdir(target):
             dstb = np.asarray(blk["dstb_unique"])
             order = np.argsort(dstb, kind="stable").astype(np.int32)
-            counts = np.bincount(dstb, minlength=num_buckets)
+            # offsets indexed directly by bucket id (sparse id space)
+            counts = np.bincount(dstb, minlength=_id_span(num_buckets))
             offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
             _atomic_save_dir(d, "gather_layout", {"order": order, "offsets": offsets})
         lay = {name: np.load(os.path.join(target, f"{name}.npy"), mmap_mode="r")
@@ -573,21 +656,24 @@ def _finish_layout(block_dir: str, dst_bucket: int, num_buckets: int) -> dict:
         if not os.path.isdir(target):
             vtx = load_vertices(block_dir, dst_bucket)
             ids_c = np.asarray(vtx["ids"])
-            chunks, offsets = [], [0]
-            for b in range(num_buckets):
-                blk = load_block(block_dir, b)
+            # chunks concatenated in ascending-bucket-id order; offsets
+            # indexed directly by (sparse) bucket id, like _gather_layout
+            chunks = []
+            lengths = np.zeros(_id_span(num_buckets), dtype=np.int64)
+            for b in bucket_ids_sorted(num_buckets):
+                blk = load_block(block_dir, int(b))
                 if blk is None or blk["n_edges"] == 0:
-                    offsets.append(offsets[-1])
                     continue
-                glay = _gather_layout(block_dir, b, blk, num_buckets)
+                glay = _gather_layout(block_dir, int(b), blk, num_buckets)
                 o = np.asarray(glay["offsets"])
                 seg = np.asarray(glay["order"])[o[dst_bucket]:o[dst_bucket + 1]]
                 ids_bc = np.asarray(blk["dst_unique"])[seg]
                 chunks.append(np.searchsorted(ids_c, ids_bc).astype(np.int32))
-                offsets.append(offsets[-1] + len(ids_bc))
+                lengths[int(b)] = len(ids_bc)
             pos = np.concatenate(chunks) if chunks else np.empty(0, np.int32)
+            offsets = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int64)
             _atomic_save_dir(parent, f"bucket={dst_bucket}",
-                             {"pos": pos, "offsets": np.asarray(offsets, np.int64)})
+                             {"pos": pos, "offsets": offsets})
         lay = {name: np.load(os.path.join(target, f"{name}.npy"), mmap_mode="r")
                for name in ("pos", "offsets")}
         _BLOCK_CACHE[key] = lay
@@ -610,6 +696,7 @@ def packed_gather_fn(block_dir: str, num_buckets: int, dtype: str = "float64"):
     unchanged; ranks agree with the float64 path to ~1e-7 relative.
     """
     dt = np.dtype(dtype)
+    bids = bucket_ids_sorted(num_buckets)
 
     def fn(batches):
         import time
@@ -636,7 +723,7 @@ def packed_gather_fn(block_dir: str, num_buckets: int, dtype: str = "float64"):
                 # no driver-side scalar roundtrip between them
                 dang = float(rank[od == 0].astype(np.float64).sum())
                 yield pd.DataFrame(
-                    {"bucket": np.arange(num_buckets, dtype=np.int32),
+                    {"bucket": bids.astype(np.int32, copy=True),
                      "src_bucket": np.full(num_buckets, -2, np.int32),
                      "payload": [np.asarray([dang]).tobytes()] * num_buckets}
                 )
@@ -653,10 +740,10 @@ def packed_gather_fn(block_dir: str, num_buckets: int, dtype: str = "float64"):
                 grouped = partial[np.asarray(lay["order"])]
                 off = np.asarray(lay["offsets"])
                 out_bucket, out_src, out_payload = [], [], []
-                for c in range(num_buckets):
+                for c in bids:
                     lo, hi = int(off[c]), int(off[c + 1])
                     if hi > lo:
-                        out_bucket.append(c)
+                        out_bucket.append(int(c))
                         out_src.append(b)
                         out_payload.append(grouped[lo:hi].tobytes())
                 _trace("pgather", t0, bucket=b, edges=blk["n_edges"])
@@ -813,6 +900,7 @@ def packed_gather_min_fn(block_dir: str, num_buckets: int):
     separate carrier branch, then one int64 message per destination
     bucket holding min-over-in-neighbors for that bucket's dst segment.
     """
+    bids = bucket_ids_sorted(num_buckets)
 
     def fn(batches):
         for pdf in batches:
@@ -834,10 +922,10 @@ def packed_gather_min_fn(block_dir: str, num_buckets: int):
                 grouped = partial[np.asarray(lay["order"])]
                 off = np.asarray(lay["offsets"])
                 out_bucket, out_src, out_payload = [], [], []
-                for c in range(num_buckets):
+                for c in bids:
                     lo, hi = int(off[c]), int(off[c + 1])
                     if hi > lo:
-                        out_bucket.append(c)
+                        out_bucket.append(int(c))
                         out_src.append(b)
                         out_payload.append(grouped[lo:hi].tobytes())
                 yield pd.DataFrame(
@@ -918,6 +1006,7 @@ def packed_gather_mode_fn(block_dir: str, num_buckets: int):
     """mapInPandas fn: packed label rows → per-dst-bucket (label, count)
     lists. Labels change every superstep, so the (group, label) pairs are
     lexsorted per call (as in mode_gather_fn) before segment packing."""
+    bids = bucket_ids_sorted(num_buckets)
 
     def fn(batches):
         for pdf in batches:
@@ -949,7 +1038,7 @@ def packed_gather_mode_fn(block_dir: str, num_buckets: int):
                 lay = _gather_layout(block_dir, b, blk, num_buckets)
                 order, off = np.asarray(lay["order"]), np.asarray(lay["offsets"])
                 out_bucket, out_src, out_payload = [], [], []
-                for c in range(num_buckets):
+                for c in bids:
                     lo, hi = int(off[c]), int(off[c + 1])
                     if hi <= lo:
                         continue
@@ -960,7 +1049,7 @@ def packed_gather_mode_fn(block_dir: str, num_buckets: int):
                         + lab_at[idx].tobytes()
                         + cnt[idx].tobytes()
                     )
-                    out_bucket.append(c)
+                    out_bucket.append(int(c))
                     out_src.append(b)
                     out_payload.append(payload)
                 yield pd.DataFrame(

@@ -212,7 +212,7 @@ def _cc_csr(
             "num_components_approx": int(observed["num_components_approx"]),
         }
 
-    with _superstep_confs(spark):
+    with _superstep_confs(spark, n_part):
         return iterate(
             state0,
             step,
@@ -288,7 +288,7 @@ def _cc_packed(
         changed = int(observed["changed"] or 0)
         return {"delta": float(changed), "active": changed}
 
-    with _superstep_confs(spark):
+    with _superstep_confs(spark, n_part):
         res = iterate(
             init,
             step,

@@ -228,7 +228,7 @@ def _lp_csr(
             "num_labels_approx": int(observed["num_labels_approx"]),
         }
 
-    with _superstep_confs(spark):
+    with _superstep_confs(spark, n_part):
         return iterate(
             state0,
             step,
@@ -306,7 +306,7 @@ def _lp_packed(
         changed = int(observed["changed"] or 0)
         return {"delta": float(changed), "active": changed}
 
-    with _superstep_confs(spark):
+    with _superstep_confs(spark, n_part):
         res = iterate(
             init,
             step,

@@ -184,19 +184,27 @@ from contextlib import contextmanager
 
 
 @contextmanager
-def _superstep_confs(spark):
+def _superstep_confs(spark, n_part: int | None = None):
     """Session confs for fixed-shape superstep queries, restored on exit.
 
     AQE re-planning buys nothing for a loop whose partitioning we control
     (it coalesced the bucket-keyed shuffle below the core count, and adds
     a driver sync per stage); small Arrow batches add per-batch overhead
     on the state/partial streams.
+
+    ``n_part`` pins ``spark.sql.shuffle.partitions`` to the bucket count
+    for the loop: the partition-perfect bucket ids (see
+    ``blocks.partition_perfect_ids``) place exactly one bucket per
+    shuffle partition ONLY when the shuffle width equals the bucket
+    count — any other width re-introduces balls-in-bins task skew.
     """
     saved = {}
     wanted = {
         "spark.sql.adaptive.enabled": "false",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "262144",
     }
+    if n_part is not None:
+        wanted["spark.sql.shuffle.partitions"] = str(int(n_part))
     for k, v in wanted.items():
         try:
             saved[k] = spark.conf.get(k)
@@ -359,7 +367,7 @@ def _pagerank_csr(
         }
 
     _ = B  # module kept imported for worker-side cache symbols
-    with _superstep_confs(spark):
+    with _superstep_confs(spark, n_part):
         return iterate(
             state0,
             step,
@@ -511,7 +519,7 @@ def _pagerank_packed(
         }
 
     n_jobs = -(-max_supersteps // k)
-    with _superstep_confs(spark):
+    with _superstep_confs(spark, n_part):
         res = iterate(
             state0,
             step,
