@@ -97,3 +97,72 @@ def test_shared_block_dir_across_kernels_is_safe(spark, tmp_path):
     a = {r["id"]: r["comp"] for r in connected_components(g, strategy="csr", block_dir=d).state.collect()}
     b = {r["id"]: r["comp"] for r in connected_components(g, strategy="dataframe").state.collect()}
     assert a == b
+
+
+# ---- partition-perfect bucket ids (block layout v2) -----------------
+
+def test_partition_perfect_ids_properties():
+    """For every bucket count: ids are distinct non-negative int32, and
+    Spark's HashPartitioning (signed Murmur3 pmod) places exactly one id
+    per shuffle partition when partitions == num_buckets."""
+    from graftpark.blocks import _spark_partition_of, partition_perfect_ids
+
+    for b in (2, 4, 8, 32, 64, 200):
+        ids = partition_perfect_ids(b)
+        assert len(ids) == b and len(set(ids.tolist())) == b
+        assert ids.min() >= 0
+        placement = sorted(_spark_partition_of(int(v), b) for v in ids)
+        assert placement == list(range(b))  # a perfect 1:1 cover
+
+
+def test_murmur3_matches_spark_hash(spark):
+    """_spark_partition_of must track the JVM: F.hash of an int32 equals
+    the signed Murmur3 our coupon-collector search uses."""
+    import pyspark.sql.functions as F
+
+    from graftpark.blocks import _murmur3_int32
+
+    vals = list(range(64)) + [239, 1000, 2**31 - 1]
+    df = spark.createDataFrame([(v,) for v in vals], "v int").select(
+        "v", F.hash("v").alias("h")
+    )
+    got = {r["v"]: r["h"] for r in df.collect()}
+    for v in vals:
+        h = _murmur3_int32(v)
+        signed = h - 0x100000000 if h >= 0x80000000 else h
+        assert got[v] == signed, v
+
+
+def test_bucket_col_emits_partition_perfect_ids(spark):
+    """bucket_col's sparse relabel agrees with partition_perfect_ids and
+    groupBy('bucket') at shuffle width == bucket count yields one bucket
+    per non-empty partition."""
+    import pyspark.sql.functions as F
+
+    from graftpark.blocks import bucket_col, partition_perfect_ids
+
+    b = 4
+    ids = set(partition_perfect_ids(b).tolist())
+    df = spark.range(1000).select(bucket_col("id", b).alias("bucket"))
+    seen = {r["bucket"] for r in df.distinct().collect()}
+    assert seen <= ids and len(seen) == b
+    # the guarantee holds at shuffle width == bucket count with AQE off
+    # (exactly the confs _superstep_confs pins inside kernel loops)
+    saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", str(b))
+        parts = (
+            df.groupBy("bucket").count()
+            .withColumn("p", F.spark_partition_id())
+            .collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
+    by_part = {}
+    for r in parts:
+        by_part.setdefault(r["p"], set()).add(r["bucket"])
+    assert len(by_part) == b
+    assert all(len(s) == 1 for s in by_part.values())
