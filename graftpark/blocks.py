@@ -58,9 +58,12 @@ _META_CACHE: dict = {}
 
 
 # Block-dir on-disk layout generation. 2 = partition-perfect bucket ids
-# (see partition_perfect_ids); dirs written by layout 1 (dense 0..B-1
-# ids) are rebuilt on first use.
-_LAYOUT_VERSION = 2
+# (see partition_perfect_ids); 3 = edges sorted by (dst_bucket, dst) so
+# per-dst partials are already dst-bucket-contiguous and the packed
+# gather emits message payloads by direct slicing — no full-partial-
+# vector rearrangement pass (one DRAM round-trip per bucket per
+# superstep deleted). Dirs written by older layouts rebuild on first use.
+_LAYOUT_VERSION = 3
 
 
 def _read_meta(block_dir: str) -> dict | None:
@@ -129,9 +132,12 @@ def write_edge_blocks(edges: DataFrame, num_buckets: int, path: str, sym: bool =
             bucket_col("src", num_buckets).alias("src_bucket"),
         )
         .repartition(num_buckets, "src_bucket")
-        # dst-sorted within each bucket: the CSR group boundaries are then a
-        # single flatnonzero at load time — no per-worker argsort ever
-        .sortWithinPartitions("dst")
+        # (dst_bucket, dst)-sorted within each bucket: CSR group boundaries
+        # are a single flatnonzero at load time (equal dst ⇒ equal
+        # dst_bucket, so dst boundaries survive the grouping), AND the
+        # per-dst partial vector comes out dst-bucket-contiguous — packed
+        # messages are then direct slices of it (layout v3)
+        .sortWithinPartitions("dst_bucket", "dst")
     )
     b.write.partitionBy("src_bucket").mode("overwrite").parquet(path)
     # one validation scan of the parquet just written: row count + an
@@ -300,8 +306,10 @@ def _build_npy(part: str, npy_dir: str) -> None:
     src = t.column("src").to_numpy(zero_copy_only=False)
     dst = t.column("dst").to_numpy(zero_copy_only=False)
     dstb = t.column("dst_bucket").to_numpy(zero_copy_only=False)
-    if len(dst) and np.any(dst[1:] < dst[:-1]):  # defensive: multi-file buckets
-        order = np.argsort(dst, kind="stable")
+    if len(dst) and np.any(
+        (dstb[1:] < dstb[:-1]) | ((dstb[1:] == dstb[:-1]) & (dst[1:] < dst[:-1]))
+    ):  # defensive: multi-file buckets can interleave the written order
+        order = np.lexsort((dst, dstb))
         src, dst, dstb = src[order], dst[order], dstb[order]
     starts = (
         np.flatnonzero(np.r_[True, dst[1:] != dst[:-1]])
@@ -413,9 +421,18 @@ def segment_gather_reduce(vals: np.ndarray, pos: np.ndarray, starts, op: str) ->
     the op itself (exact for min; for float sums the merge only regroups
     additions at chunk boundaries — same magnitude of rounding as any
     partial-sum order).
+
+    Precondition (CSR invariants, guaranteed by ``_build_npy``):
+    ``starts`` is strictly increasing with ``starts[0] == 0``, and is
+    empty iff ``pos`` is empty. Violating them would make the
+    cross-chunk continuation merge write ``out[-1]`` via index
+    wraparound (a silent merge into the wrong segment), so the cheap
+    parts are asserted here.
     """
     starts = np.asarray(starts)
     n = len(pos)
+    assert (len(starts) == 0) == (n == 0), "starts empty iff pos empty"
+    assert n == 0 or starts[0] == 0, "CSR starts must begin at 0"
     ufunc = np.add if op == "sum" else np.minimum
     if n <= _GATHER_CHUNK:
         return ufunc.reduceat(vals[pos], starts) if n else vals[:0]
@@ -661,28 +678,24 @@ def _atomic_save_dir(parent: str, name: str, arrays: dict) -> str:
     return target
 
 
-def _gather_layout(block_dir: str, bucket: int, blk: dict, num_buckets: int) -> dict:
-    """Static dst-bucket grouping of block ``bucket``'s per-dst partials:
-    ``order`` rearranges the partial vector so destination buckets are
-    contiguous; ``offsets[c]:offsets[c+1]`` slices bucket c's segment.
-    Built once, mmap-shared (a per-worker copy at 10^8-edge scale costs
-    GBs per worker and evicts the page cache)."""
-    key = ("glay", block_dir, _block_token(block_dir), bucket)
-    lay = _BLOCK_CACHE.get(key)
-    if lay is None:
-        d = os.path.join(block_dir, "_npy", f"bucket={bucket}")
-        target = os.path.join(d, "gather_layout")
-        if not os.path.isdir(target):
-            dstb = np.asarray(blk["dstb_unique"])
-            order = np.argsort(dstb, kind="stable").astype(np.int32)
-            # offsets indexed directly by bucket id (sparse id space)
-            counts = np.bincount(dstb, minlength=_id_span(num_buckets))
-            offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
-            _atomic_save_dir(d, "gather_layout", {"order": order, "offsets": offsets})
-        lay = {name: np.load(os.path.join(target, f"{name}.npy"), mmap_mode="r")
-               for name in ("order", "offsets")}
-        _BLOCK_CACHE[key] = lay
-    return lay
+def _gather_offsets(block_dir: str, bucket: int, blk: dict, num_buckets: int) -> np.ndarray:
+    """Per-dst-bucket segment offsets into block ``bucket``'s per-dst
+    partial vector: ``offsets[c]:offsets[c+1]`` slices dst-bucket c's
+    contiguous segment. Layout v3 stores edges (and therefore the unique
+    dst list) sorted by (dst_bucket, dst), so the partial vector IS
+    bucket-grouped — message payloads are direct slices, with no
+    rearrangement gather (pre-v3 this was a full partial-vector DRAM
+    round-trip per bucket per superstep). Offsets are indexed directly
+    by (sparse) bucket id; tiny (~id_span int64), computed per worker
+    from the mmap'd dstb_unique and cached."""
+    key = ("goff", block_dir, _block_token(block_dir), bucket)
+    off = _BLOCK_CACHE.get(key)
+    if off is None:
+        dstb = np.asarray(blk["dstb_unique"])
+        counts = np.bincount(dstb, minlength=_id_span(num_buckets))
+        off = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        _BLOCK_CACHE[key] = off
+    return off
 
 
 def _finish_layout(block_dir: str, dst_bucket: int, num_buckets: int) -> dict:
@@ -706,10 +719,8 @@ def _finish_layout(block_dir: str, dst_bucket: int, num_buckets: int) -> dict:
                 blk = load_block(block_dir, int(b))
                 if blk is None or blk["n_edges"] == 0:
                     continue
-                glay = _gather_layout(block_dir, int(b), blk, num_buckets)
-                o = np.asarray(glay["offsets"])
-                seg = np.asarray(glay["order"])[o[dst_bucket]:o[dst_bucket + 1]]
-                ids_bc = np.asarray(blk["dst_unique"])[seg]
+                o = _gather_offsets(block_dir, int(b), blk, num_buckets)
+                ids_bc = np.asarray(blk["dst_unique"])[o[dst_bucket]:o[dst_bucket + 1]]
                 chunks.append(np.searchsorted(ids_c, ids_bc).astype(np.int32))
                 lengths[int(b)] = len(ids_bc)
             pos = np.concatenate(chunks) if chunks else np.empty(0, np.int32)
@@ -776,17 +787,17 @@ def packed_gather_fn(block_dir: str, num_buckets: int, dtype: str = "float64"):
                 # dtype is float32 — halves the per-edge gather temp below
                 w = np.divide(rank, od, out=np.zeros(len(rank), dtype=dt), where=od > 0)
                 pos = _static_positions(block_dir, b, blk)
+                # layout v3: partial is already dst-bucket-contiguous —
+                # each message payload is a direct slice (no rearrangement)
                 partial = segment_gather_reduce(w, pos, blk["starts"], "sum")
-                lay = _gather_layout(block_dir, b, blk, num_buckets)
-                grouped = partial[np.asarray(lay["order"])]
-                off = np.asarray(lay["offsets"])
+                off = _gather_offsets(block_dir, b, blk, num_buckets)
                 out_bucket, out_src, out_payload = [], [], []
                 for c in bids:
                     lo, hi = int(off[c]), int(off[c + 1])
                     if hi > lo:
                         out_bucket.append(int(c))
                         out_src.append(b)
-                        out_payload.append(grouped[lo:hi].tobytes())
+                        out_payload.append(partial[lo:hi].tobytes())
                 _trace("pgather", t0, bucket=b, edges=blk["n_edges"])
                 yield pd.DataFrame(
                     {"bucket": np.asarray(out_bucket, np.int32),
@@ -890,6 +901,59 @@ def pack_fn(block_dir: str, value_col: str, dtype: str = "float64"):
     return fn
 
 
+#: packed state row schema shared by every packed kernel
+PACKED_SCHEMA = "bucket int, payload binary, delta double, dangling double, active long"
+
+
+def make_packed_checkpointer(
+    checkpoint_dir: str,
+    every: int,
+    block_dir: str,
+    n_part: int,
+    value_col: str,
+    dtype: str = "float64",
+):
+    """Durable Checkpointer for packed kernels, plus its pack/expand fns.
+
+    Packed state is opaque binary vectors; durable checkpoints must stay
+    per-vertex parquet (north_rule: resumable with per-partition lineage
+    + metrics readable by anything), so ``save`` expands to (id, value)
+    rows before writing and re-packs the re-read, and ``load`` packs the
+    parquet back into bucket rows. Returns ``(checkpointer, pack_df,
+    expand_df)`` so kernels can reuse the same pack/expand closures for
+    init and for the final result.
+    """
+    from graftpark.loop import Checkpointer
+
+    sql_t = "double" if np.dtype(dtype).kind == "f" else "long"
+
+    def pack_df(expanded: DataFrame) -> DataFrame:
+        return (
+            expanded.withColumn("bucket", bucket_col("id", n_part).cast("int"))
+            .groupBy("bucket")
+            .applyInPandas(pack_fn(block_dir, value_col, dtype), schema=PACKED_SCHEMA)
+        )
+
+    def expand_df(packed: DataFrame) -> DataFrame:
+        return packed.mapInPandas(
+            packed_expand_fn(block_dir, dtype, value_col),
+            schema=f"id long, {value_col} {sql_t}",
+        )
+
+    class PackedCheckpointer(Checkpointer):
+        """Durable checkpoints stay per-vertex parquet (north_rule)."""
+
+        def save(self, state: DataFrame, superstep: int) -> DataFrame:
+            reread = super().save(expand_df(state), superstep)
+            return pack_df(reread)
+
+        def load(self, spark, superstep: int) -> DataFrame:
+            return pack_df(super().load(spark, superstep))
+
+    ckpt = PackedCheckpointer(checkpoint_dir, every=every) if checkpoint_dir else None
+    return ckpt, pack_df, expand_df
+
+
 def combine_sums(partials: pd.DataFrame, state_pdf: pd.DataFrame) -> np.ndarray:
     """Dense per-vertex sums of partials, aligned to state_pdf row order."""
     n = len(state_pdf)
@@ -929,7 +993,7 @@ def combine_min(partials: pd.DataFrame, state_pdf: pd.DataFrame, own: np.ndarray
 # ---------------------------------------------------------------------------
 # Packed min-semiring layer (connected components): same static message
 # layout as the PageRank packed path, but payloads are int64 labels and
-# the reduce is elementwise minimum. Messages reuse _gather_layout /
+# the reduce is elementwise minimum. Messages reuse _gather_offsets /
 # _finish_layout — they describe the block topology, not the semiring.
 # ---------------------------------------------------------------------------
 
@@ -957,17 +1021,17 @@ def packed_gather_min_fn(block_dir: str, num_buckets: int):
                     continue
                 labels = np.frombuffer(row.payload, dtype=np.int64)
                 pos = _static_positions(block_dir, b, blk)
+                # layout v3: per-dst minima are dst-bucket-contiguous —
+                # payloads are direct slices (see packed_gather_fn)
                 partial = segment_gather_reduce(labels, pos, blk["starts"], "min")
-                lay = _gather_layout(block_dir, b, blk, num_buckets)
-                grouped = partial[np.asarray(lay["order"])]
-                off = np.asarray(lay["offsets"])
+                off = _gather_offsets(block_dir, b, blk, num_buckets)
                 out_bucket, out_src, out_payload = [], [], []
                 for c in bids:
                     lo, hi = int(off[c]), int(off[c + 1])
                     if hi > lo:
                         out_bucket.append(int(c))
                         out_src.append(b)
-                        out_payload.append(grouped[lo:hi].tobytes())
+                        out_payload.append(partial[lo:hi].tobytes())
                 yield pd.DataFrame(
                     {"bucket": np.asarray(out_bucket, np.int32),
                      "src_bucket": np.asarray(out_src, np.int32),
@@ -1075,14 +1139,15 @@ def packed_gather_mode_fn(block_dir: str, num_buckets: int):
                 n_groups = len(blk["starts"])
                 k_per_dst = np.bincount(g_at, minlength=n_groups)
                 ent_off = np.concatenate([[0], np.cumsum(k_per_dst)[:-1]])
-                lay = _gather_layout(block_dir, b, blk, num_buckets)
-                order, off = np.asarray(lay["order"]), np.asarray(lay["offsets"])
+                # layout v3: dst groups are bucket-contiguous, so dst-bucket
+                # c's group ids are the contiguous range off[c]:off[c+1]
+                off = _gather_offsets(block_dir, b, blk, num_buckets)
                 out_bucket, out_src, out_payload = [], [], []
                 for c in bids:
                     lo, hi = int(off[c]), int(off[c + 1])
                     if hi <= lo:
                         continue
-                    gids = order[lo:hi]
+                    gids = np.arange(lo, hi, dtype=np.int64)
                     idx, l = _segment_entry_indices(gids, k_per_dst, ent_off)
                     payload = (
                         l.astype(np.int32).tobytes()

@@ -134,10 +134,33 @@ def q_pagerank_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_pagerank_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same computation as pagerank_fixed through the PACKED strategy —
+    the path strategy='auto' actually selects at scale (binary vector
+    messages, ~P² rows/superstep); this row puts the at-scale execution
+    path in front of the external oracle, not just pytest
+    strategy-equality tests."""
+    g = Graph(edges_from_testdata(spark, sf_dir))
+    res = pagerank(g, alpha=ALPHA, tol=0.0, max_supersteps=PR_STEPS, strategy="packed")
+    out = res.state.select("id", F.round("rank", 8).alias("rank"))
+    g.unpersist()
+    return out
+
+
 def q_cc_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cc_bipartite via the CSR-block min-propagation strategy."""
     g = Graph(edges_from_testdata(spark, sf_dir))
     res = connected_components(g, strategy="csr")
+    out = components_df(res)
+    g.unpersist()
+    return out
+
+
+def q_cc_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cc_bipartite via the packed min-semiring strategy (the at-scale
+    CC path — see q_pagerank_packed)."""
+    g = Graph(edges_from_testdata(spark, sf_dir))
+    res = connected_components(g, strategy="packed")
     out = components_df(res)
     g.unpersist()
     return out
@@ -201,6 +224,16 @@ def q_label_prop_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """label_prop_nation via the CSR-block mode-propagation strategy."""
     g = Graph(nation_edges_from_testdata(spark, sf_dir))
     res = label_propagation(g, max_supersteps=LP_STEPS, strategy="csr")
+    out = labels_df(res)
+    g.unpersist()
+    return out
+
+
+def q_label_prop_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """label_prop_nation via the packed mode-semiring strategy (the
+    at-scale LP path — see q_pagerank_packed)."""
+    g = Graph(nation_edges_from_testdata(spark, sf_dir))
+    res = label_propagation(g, max_supersteps=LP_STEPS, strategy="packed")
     out = labels_df(res)
     g.unpersist()
     return out
@@ -507,9 +540,12 @@ ORACLE_SQL["mis_coloring_nation"] = _mis_coloring_sql(_NATION_CTE, "ns", "nv", n
 ORACLE_SQL["mis_coloring_sparse"] = _mis_coloring_sql(
     _NATION_SPARSE_CTE, "nsf", "nvf", n_outer=14, n_inner=6
 )
+ORACLE_SQL["pagerank_packed"] = ORACLE_SQL["pagerank_fixed"]
 ORACLE_SQL["cc_csr"] = ORACLE_SQL["cc_bipartite"]
+ORACLE_SQL["cc_packed"] = ORACLE_SQL["cc_bipartite"]
 ORACLE_SQL["cc_twophase"] = ORACLE_SQL["cc_bipartite"]
 ORACLE_SQL["label_prop_csr"] = ORACLE_SQL["label_prop_nation"]
+ORACLE_SQL["label_prop_packed"] = ORACLE_SQL["label_prop_nation"]
 
 from graftpark.driver_queries_pipeline import PIPELINE_ORACLE_SQL, PIPELINE_QUERIES  # noqa: E402
 
@@ -522,8 +558,10 @@ QUERIES = {
     "symmetrize": q_symmetrize,
     "pagerank_fixed": q_pagerank_fixed,
     "pagerank_csr": q_pagerank_csr,
+    "pagerank_packed": q_pagerank_packed,
     "cc_nation": q_cc_nation,
     "cc_csr": q_cc_csr,
+    "cc_packed": q_cc_packed,
     "cc_twophase": q_cc_twophase,
     "cc_bipartite": q_cc_bipartite,
     "triangles_nation": q_triangles_nation,
@@ -533,6 +571,7 @@ QUERIES = {
     "greedy_coloring_sparse": q_greedy_coloring_sparse,
     "label_prop_nation": q_label_prop_nation,
     "label_prop_csr": q_label_prop_csr,
+    "label_prop_packed": q_label_prop_packed,
     "bfs_levels_nation": q_bfs_levels_nation,
     "bfs_parents_nation": q_bfs_parents_nation,
     **PIPELINE_QUERIES,

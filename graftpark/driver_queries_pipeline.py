@@ -88,6 +88,23 @@ def q_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir))
 
 
+#: hamming radius for the simhash near-dup driver row (the synthetic
+#: sf0.01 documents are all-distinct, so radius 3 would return no pairs;
+#: 8 keeps the row non-trivial — ~200 pairs — while exercising the same
+#: chunk-banded candidate join + bit_count filter)
+_SIMHASH_MAXH = 8
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    """Chunk-banded SimHash near-dup pairs: candidates must agree exactly
+    on one 16-bit signature chunk (pigeonhole bucketing — never
+    all-pairs), then a bit_count(xor) Hamming filter."""
+    from graftpark.pipeline.dedup import simhash_near_dups
+
+    out = simhash_near_dups(_docs(spark, sf_dir), max_hamming=_SIMHASH_MAXH)
+    return out.select("a", "b", F.col("hamming").cast("long").alias("hamming"))
+
+
 def q_cosine_topk(spark, sf_dir):
     scores = cosine_scores(_emb(spark, sf_dir), _QUERY_VEC)
     return (
@@ -440,6 +457,42 @@ FROM embeddings
 """,
 }
 
+def _simhash_near_dups_sql() -> str:
+    """simhash_near_dups replica: the simhash oracle's per-bit vote sums,
+    packed both into the full 64-bit signature AND into the four 16-bit
+    chunk keys; candidate pairs agree on ≥1 chunk; Hamming distance =
+    bit_count(xor(sa, sb)) — identical bit math on both engines."""
+    chunk_terms = ",\n     ".join(
+        f"CAST(SUM(CASE WHEN sv > 0 AND b >= {16 * c} AND b < {16 * (c + 1)} "
+        f"THEN CAST(2 ** (b - {16 * c}) AS BIGINT) ELSE 0 END) AS BIGINT)"
+        for c in range(4)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '[^ ]+')) AS tok FROM documents),
+th AS (SELECT doc_id, md5(tok) AS hx FROM toks),
+bits AS (SELECT doc_id, hx, unnest(generate_series(0, 63)) AS b FROM th),
+votes AS (
+  SELECT doc_id, b,
+    CASE WHEN ((strpos('0123456789abcdef', substr(hx, CAST(b // 4 AS INT) + 1, 1)) - 1)
+               // (CASE CAST(b % 4 AS INT) WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2 = 1
+         THEN 1 ELSE -1 END AS v
+  FROM bits),
+s AS (SELECT doc_id, b, SUM(v) AS sv FROM votes GROUP BY doc_id, b),
+p2(arr) AS (SELECT list_transform(generate_series(0, 62), i -> CAST(2 ** i AS BIGINT)) || [CAST(-9223372036854775808 AS BIGINT)]),
+sig AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN sv > 0 THEN (SELECT arr FROM p2)[CAST(b AS INT) + 1] ELSE 0 END) AS BIGINT) AS simhash,
+    [{chunk_terms}] AS cks
+  FROM s GROUP BY doc_id),
+chunks AS (SELECT doc_id, simhash, chunk, cks[chunk + 1] AS ck
+           FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS chunk) t),
+cand AS (SELECT DISTINCT x.doc_id AS a, x.simhash AS sa, y.doc_id AS b, y.simhash AS sb
+         FROM chunks x JOIN chunks y ON x.chunk = y.chunk AND x.ck = y.ck AND x.doc_id < y.doc_id)
+SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {_SIMHASH_MAXH}
+"""
+
+
 def _plane_lit(p) -> str:
     return "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
 
@@ -547,6 +600,7 @@ FROM f
 """
 
 
+PIPELINE_ORACLE_SQL["simhash_near_dups"] = _simhash_near_dups_sql()
 PIPELINE_ORACLE_SQL["resize_images"] = _resize_oracle_sql()
 PIPELINE_ORACLE_SQL["sample_frames"] = _frames_oracle_sql()
 PIPELINE_ORACLE_SQL["embedding_near_dups_lsh"] = _nd_oracle_sql()
@@ -564,6 +618,7 @@ PIPELINE_QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash": q_simhash,
+    "simhash_near_dups": q_simhash_near_dups,
     "cosine_topk": q_cosine_topk,
     "embedding_norms": q_embedding_norms,
     "multimodal_meta": q_multimodal_meta,

@@ -137,8 +137,8 @@ class Graph:
             # EVERY downstream stage (measured 10x slowdown on a 1.2M-edge
             # generated graph); a one-time eager localCheckpoint makes the
             # data an executor-resident RDD like any scanned source
-            n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-            edges = edges.repartition(n).localCheckpoint(eager=True)
+            n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            edges = edges.repartition(n_part).localCheckpoint(eager=True)
         if not directed:
             edges = symmetrize(edges)
         vertices = None

@@ -33,11 +33,16 @@ import random
 import time
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.storagelevel import StorageLevel
 
 from graftpark import oracles
 from graftpark.graph import Graph, choose_strategy, maybe_broadcast
 from graftpark.loop import LoopResult
+
+
+#: per-vertex status within the current outer round
+_ST_CAND = 0   # candidate for this round's independent set
+_ST_IS = 1     # selected into an IS (== colored; color column says when)
+_ST_KNOCKED = 2  # knocked out this round; candidate again next round
 
 
 def mis_coloring(
@@ -46,7 +51,22 @@ def mis_coloring(
     num_partitions: int | None = None,
 ) -> LoopResult:
     """Result state: ``coloring(id: long, color: int)``; metrics include
-    ``num_colors``. Proper coloring over the symmetrized graph."""
+    ``num_colors``. Proper coloring over the symmetrized graph.
+
+    Scale shape (round-4 redesign): ONE unified state DataFrame
+    ``(id, w, color, st)`` and exactly TWO actions per inner round —
+    a select job (P2/P4: local weight maxima among candidate neighbors
+    join the IS) and a knockout job (P3: neighbors of the round's IS
+    leave the candidate set) — with every count riding the
+    state-materializing job via ``DataFrame.observe``. Both jobs merge
+    edge-propagated rows into the state with UNION + one groupBy(id),
+    never a join of two state descendants: binary plan nodes MULTIPLY
+    carried Catalyst size statistics, which squares per round under
+    eager localCheckpoint (see pagerank.py step() note) — the hazard the
+    pre-round-4 ``cand ⋈ nbr_max(cand)`` formulation carried.
+    """
+    from graftpark.loop import _checkpoint_rdd
+
     spark = graph.spark
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     n = graph.num_vertices()
@@ -56,73 +76,144 @@ def mis_coloring(
     if n == 0:
         return LoopResult(state=spark.createDataFrame([], "id LONG, color INT"), converged=True)
 
-    # static injective priorities (degree-ranked, id tie-break)
-    weights = (
-        graph.degrees()
-        .select("id", (F.col("deg") * F.lit(n + 1) + (F.lit(n) - F.col("id"))).alias("w"))
-        .repartition(n_part, "id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    weights.count()
+    from pyspark.sql import Observation
 
-    colors = spark.createDataFrame([], "id LONG, color INT").persist(StorageLevel.MEMORY_AND_DISK)
-    uncolored = weights
+    # static injective priorities (degree-ranked, id tie-break)
+    state = (
+        graph.degrees()
+        .select(
+            "id",
+            (F.col("deg") * F.lit(n + 1) + (F.lit(n) - F.col("id"))).alias("w"),
+            F.lit(None).cast("int").alias("color"),
+            F.lit(_ST_CAND).cast("int").alias("st"),
+        )
+        .repartition(n_part, "id")
+        .localCheckpoint(eager=True)
+    )
+    prev_rdd = _checkpoint_rdd(state)
+
+    def _merge(prop, st_df, finish_cols, obs_cols):
+        """UNION edge-propagated rows with one carrier per vertex, ONE
+        groupBy(id) reconstructs the full state; convergence counts ride
+        the localCheckpoint materialization via observe (zero extra
+        actions)."""
+        nonlocal prev_rdd
+        carriers = st_df.select(
+            "id", "w", "color", "st",
+            F.lit(None).cast("long").alias("nw"), F.lit(True).alias("own"),
+        )
+        agg = (
+            prop.unionByName(carriers)
+            .groupBy("id")
+            .agg(
+                F.max(F.when(F.col("own"), F.col("w"))).alias("w"),
+                F.max(F.when(F.col("own"), F.col("color"))).alias("color"),
+                F.max(F.when(F.col("own"), F.col("st"))).alias("st"),
+                F.max(F.when(~F.col("own"), F.col("nw"))).alias("mw"),
+            )
+        )
+        obs = Observation()
+        out = agg.select("id", "w", *finish_cols).observe(
+            obs, *[c.alias(k) for k, c in obs_cols.items()]
+        )
+        out = out.localCheckpoint(eager=True)
+        got = obs.get
+        if prev_rdd is not None:
+            try:
+                prev_rdd.unpersist(False)
+            except Exception:
+                pass
+        prev_rdd = _checkpoint_rdd(out)
+        return out, got
+
+    _is_cand = F.col("color").isNull() & (F.col("st") == _ST_CAND)
     metrics: list[dict] = []
     color = 0
-    while color < max_colors:
-        remaining = uncolored.count()
-        if remaining == 0:
-            break
+    n_uncolored, colored_total = n, 0
+    while n_uncolored > 0 and color < max_colors:
         color += 1
         t0 = time.monotonic()
-        cand = uncolored
-        is_acc = spark.createDataFrame([], "id LONG")
+        active = n_uncolored
+        # lazy reset (merges into the first select job's plan): last
+        # round's knocked vertices are candidates again
+        state = state.withColumn(
+            "st", F.when(F.col("color").isNull(), F.lit(_ST_CAND)).otherwise(F.col("st"))
+        )
         inner_rounds = 0
         while True:
             inner_rounds += 1
-            nbr_max = (
-                sym.join(maybe_broadcast(cand, use_bc), sym.src == cand.id)
-                .groupBy("dst")
-                .agg(F.max("w").alias("mw"))
+            # --- select job: local maxima among candidate neighbors join
+            # the IS and take this round's color (P2 max-weight SpMV + P4)
+            cand = state.where(_is_cand).select("id", "w")
+            prop = sym.join(maybe_broadcast(cand, use_bc), sym.src == cand.id).select(
+                F.col("dst").alias("id"),
+                F.lit(None).cast("long").alias("w"),
+                F.lit(None).cast("int").alias("color"),
+                F.lit(None).cast("int").alias("st"),
+                F.col("w").alias("nw"), F.lit(False).alias("own"),
             )
-            sel = (
-                cand.join(nbr_max, cand.id == nbr_max.dst, "left")
-                .where(F.col("mw").isNull() | (F.col("w") > F.col("mw")))
-                .select(cand.id.alias("id"))
-            ).localCheckpoint(eager=True)
-            if sel.count() == 0:
+            sel = _is_cand & (F.col("mw").isNull() | (F.col("w") > F.col("mw")))
+            state, got = _merge(
+                prop, state,
+                finish_cols=[
+                    F.when(sel, F.lit(color)).otherwise(F.col("color")).cast("int").alias("color"),
+                    F.when(sel, F.lit(_ST_IS)).otherwise(F.col("st")).cast("int").alias("st"),
+                ],
+                obs_cols={
+                    "n_is": F.count(F.when(F.col("st") == _ST_IS, True)),
+                    "n_cand": F.count(F.when(_is_cand, True)),
+                },
+            )
+            n_selected = int(got["n_is"]) - colored_total
+            colored_total = int(got["n_is"])
+            if n_selected == 0:
+                # unreachable with injective priorities (the max-weight
+                # candidate always selects); defensive stop
                 break
-            is_acc = is_acc.union(sel).localCheckpoint(eager=True)
-            knocked = sym.join(maybe_broadcast(sel, use_bc), sym.src == sel.id).select(sym.dst.alias("id")).distinct()
-            removed = sel.select("id").union(knocked).distinct()
-            new_cand = cand.join(removed, "id", "left_anti").localCheckpoint(eager=True)
-            if cand is not uncolored:
-                cand.unpersist()
-            cand = new_cand
-            if cand.count() == 0:
+            if int(got["n_cand"]) == 0:
+                # every candidate was selected (e.g. an independent
+                # remainder) — nothing left to knock out, skip that job
                 break
-        colored = is_acc.select("id", F.lit(color).cast("int").alias("color"))
-        new_colors = colors.union(colored).localCheckpoint(eager=True)
-        n_colored = new_colors.count()
-        colors.unpersist()
-        colors = new_colors
-        new_uncolored = uncolored.join(is_acc, "id", "left_anti").localCheckpoint(eager=True)
-        if uncolored is not weights:
-            uncolored.unpersist()
-        uncolored = new_uncolored
+            # --- knockout job: neighbors of this round's IS leave the
+            # candidate set (P3 bool-or SpMV); counts ride the same job
+            is_cur = state.where((F.col("st") == _ST_IS) & (F.col("color") == color)).select("id")
+            prop = sym.join(maybe_broadcast(is_cur, use_bc), sym.src == is_cur.id).select(
+                F.col("dst").alias("id"),
+                F.lit(None).cast("long").alias("w"),
+                F.lit(None).cast("int").alias("color"),
+                F.lit(None).cast("int").alias("st"),
+                F.lit(1).cast("long").alias("nw"), F.lit(False).alias("own"),
+            )
+            knocked = _is_cand & F.col("mw").isNotNull()
+            state, got = _merge(
+                prop, state,
+                finish_cols=[
+                    F.col("color"),
+                    F.when(knocked, F.lit(_ST_KNOCKED)).otherwise(F.col("st")).cast("int").alias("st"),
+                ],
+                obs_cols={"n_cand": F.count(F.when(_is_cand, True))},
+            )
+            if int(got["n_cand"]) == 0:
+                break
+        n_uncolored = n - colored_total
+        if n_uncolored == active:
+            raise RuntimeError(
+                f"mis_coloring made no progress in outer round {color} "
+                f"({active} uncolored) — priorities not injective?"
+            )
         metrics.append(
             {
                 "superstep": color,
                 "wall_s": time.monotonic() - t0,
-                "active": remaining,
+                "active": active,
                 "inner_rounds": inner_rounds,
-                "colored_total": n_colored,
+                "colored_total": colored_total,
             }
         )
-    weights.unpersist()
+    result = state.select("id", "color")
     if metrics:
         metrics[-1]["num_colors"] = color
-    return LoopResult(state=colors, metrics=metrics, supersteps=color, converged=True)
+    return LoopResult(state=result, metrics=metrics, supersteps=color, converged=True)
 
 
 def greedy_coloring(

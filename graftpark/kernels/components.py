@@ -38,11 +38,12 @@ def connected_components(
     if strategy == "auto":
         # csr/packed block dirs default to driver-local tmp — only auto-pick
         # them on a local master or with an explicit (shared-storage)
-        # block_dir; packed (faster) unless durable checkpoints are wanted
-        # (only the csr path wires the Checkpointer)
+        # block_dir. Packed is the at-scale path and (round 4) wires the
+        # durable PackedCheckpointer, so checkpoint_dir no longer downgrades
+        # the strategy.
         blocks_ok = spark.sparkContext.master.startswith("local") or block_dir is not None
         if not choose_strategy(n, broadcast_state) and blocks_ok:
-            strategy = "csr" if checkpoint_dir else "packed"
+            strategy = "packed"
         else:
             strategy = "dataframe"
     if strategy == "csr":
@@ -50,7 +51,10 @@ def connected_components(
             graph, max_supersteps, checkpoint_dir, checkpoint_every, resume, n_part, block_dir
         )
     if strategy == "packed":
-        return _cc_packed(graph, max_supersteps, n_part, block_dir)
+        return _cc_packed(
+            graph, max_supersteps, n_part, block_dir,
+            checkpoint_dir, checkpoint_every, resume,
+        )
     use_bc = choose_strategy(n, broadcast_state)
     graph.persist_for_iteration(n_part, key=None if use_bc else "src")
     sym = graph.edges_sym()
@@ -231,6 +235,9 @@ def _cc_packed(
     max_supersteps: int,
     n_part: int,
     block_dir: str | None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = False,
 ) -> LoopResult:
     """Packed-message min-label propagation — the at-scale CC path.
 
@@ -238,15 +245,17 @@ def _cc_packed(
     int64 vector per (src_bucket → dst_bucket) pair, ~P² rows per
     superstep instead of ~E), with the (min, min) semiring over the
     symmetrized edge blocks. Tests assert equality with the dataframe
-    formulation.
+    formulation. Durable checkpoints expand to per-vertex (id, comp)
+    parquet with lineage (north_rule) and re-pack on resume — the
+    at-scale path is both fast AND resumable.
     """
     import tempfile
 
     from graftpark.blocks import (
+        PACKED_SCHEMA,
         bucket_col,
         ensure_edge_blocks,
-        pack_fn,
-        packed_expand_fn,
+        make_packed_checkpointer,
         packed_finish_min_fn,
         packed_gather_min_fn,
         vertex_sidecar_writer,
@@ -267,19 +276,24 @@ def _cc_packed(
         vertex_sidecar_writer(block_dir), schema="bucket int, n long"
     ).count()
 
-    packed_schema = "bucket int, payload binary, delta double, dangling double, active long"
-    init = (
-        vdf.select("id", F.col("id").alias("comp"), "bucket")
-        .groupBy("bucket")
-        .applyInPandas(pack_fn(block_dir, "comp", "int64"), schema=packed_schema)
+    checkpointer, pack_df, expand_df = make_packed_checkpointer(
+        checkpoint_dir, checkpoint_every, block_dir, n_part, "comp", "int64"
     )
+    init = pack_df(vdf.select("id", F.col("id").alias("comp")))
+    start, initial_metrics, state0 = 1, None, init
+    if resume and checkpointer is not None:
+        rp = resume_point(checkpointer, spark)
+        if rp is not None:
+            state0, last, initial_metrics = rp
+            start = last + 1
+
     gather = packed_gather_min_fn(block_dir, n_part)
     finish = packed_finish_min_fn(block_dir, n_part)
     msg_schema = "bucket int, src_bucket int, payload binary"
 
     def step(state: DataFrame, i: int) -> DataFrame:
         msgs = state.mapInPandas(gather, schema=msg_schema)
-        return msgs.groupBy("bucket").applyInPandas(finish, schema=packed_schema)
+        return msgs.groupBy("bucket").applyInPandas(finish, schema=PACKED_SCHEMA)
 
     def observe_cols() -> dict:
         return {"changed": F.sum("active")}
@@ -290,18 +304,18 @@ def _cc_packed(
 
     with _superstep_confs(spark, n_part):
         res = iterate(
-            init,
+            state0,
             step,
             stats,
             converged_fn=lambda rec: rec["active"] == 0,
             max_supersteps=max_supersteps,
+            checkpointer=checkpointer,
+            start_superstep=start,
+            initial_metrics=initial_metrics,
             observe_cols=observe_cols,
         )
     vdf.unpersist()
-    expanded = res.state.mapInPandas(
-        packed_expand_fn(block_dir, "int64", "comp"), schema="id long, comp long"
-    )
-    return LoopResult(state=expanded, metrics=res.metrics,
+    return LoopResult(state=expand_df(res.state), metrics=res.metrics,
                       supersteps=res.supersteps, converged=res.converged)
 
 
@@ -381,7 +395,20 @@ def connected_components_twophase(
             .repartition(n_part, "u")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-    n_edges = e.count()
+
+    def _edge_probe(df: DataFrame) -> tuple[int, int]:
+        """(count, order-independent content fingerprint) in ONE job —
+        the fixed-point test. Both rounds' edge sets are DISTINCT sets,
+        so equal (count, xor-of-xxhash64) means equal sets; this replaces
+        the previous ``exceptAll(e).count()`` probe, which cost an extra
+        2E-row shuffle join per round."""
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("fp"),
+        ).collect()[0]
+        return int(row["n"]), int(row["fp"])
+
+    n_edges, fp = _edge_probe(e)
     converged = n_edges == 0
     rounds = start - 1
     import time
@@ -394,11 +421,10 @@ def connected_components_twophase(
             new = checkpointer.save(new, rounds)
         else:
             new = new.localCheckpoint(eager=True)
-        n_new = new.count()
-        # fixed point: equal cardinality and no edge left the set
-        converged = n_new == n_edges and new.exceptAll(e).count() == 0
+        n_new, fp_new = _edge_probe(new)
+        converged = n_new == n_edges and fp_new == fp
         e.unpersist()
-        e, n_edges = new, n_new
+        e, n_edges, fp = new, n_new, fp_new
         rec = {"superstep": rounds, "wall_s": time.monotonic() - t0,
                "edges": n_edges, "active": 0 if converged else n_edges}
         metrics.append(rec)

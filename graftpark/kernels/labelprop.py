@@ -37,11 +37,12 @@ def label_propagation(
     if strategy == "auto":
         # csr/packed block dirs default to driver-local tmp — only auto-pick
         # them on a local master or with an explicit (shared-storage)
-        # block_dir; packed unless durable checkpoints are requested (only
-        # the csr path wires the Checkpointer)
+        # block_dir. Packed is the at-scale path and (round 4) wires the
+        # durable PackedCheckpointer, so checkpoint_dir no longer downgrades
+        # the strategy.
         blocks_ok = spark.sparkContext.master.startswith("local") or block_dir is not None
         if not choose_strategy(n, broadcast_state) and blocks_ok:
-            strategy = "csr" if checkpoint_dir else "packed"
+            strategy = "packed"
         else:
             strategy = "dataframe"
     if strategy == "csr":
@@ -49,7 +50,10 @@ def label_propagation(
             graph, max_supersteps, checkpoint_dir, checkpoint_every, resume, n_part, block_dir
         )
     if strategy == "packed":
-        return _lp_packed(graph, max_supersteps, n_part, block_dir)
+        return _lp_packed(
+            graph, max_supersteps, n_part, block_dir,
+            checkpoint_dir, checkpoint_every, resume,
+        )
     use_bc = choose_strategy(n, broadcast_state)
     graph.persist_for_iteration(n_part, key=None if use_bc else "src")
     sym = graph.edges_sym()
@@ -247,6 +251,9 @@ def _lp_packed(
     max_supersteps: int,
     n_part: int,
     block_dir: str | None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = False,
 ) -> LoopResult:
     """Packed mode-semiring label propagation — the at-scale LP path.
 
@@ -255,15 +262,16 @@ def _lp_packed(
     (distinct-label count, labels, counts) triple per dst, merged in the
     reduce with the same min-tie-break argmax as the dataframe path
     (combine_mode). Tests assert exact equality with the dataframe
-    formulation.
+    formulation. Durable checkpoints expand to per-vertex (id, label)
+    parquet with lineage (north_rule) and re-pack on resume.
     """
     import tempfile
 
     from graftpark.blocks import (
+        PACKED_SCHEMA,
         bucket_col,
         ensure_edge_blocks,
-        pack_fn,
-        packed_expand_fn,
+        make_packed_checkpointer,
         packed_finish_mode_fn,
         packed_gather_mode_fn,
         vertex_sidecar_writer,
@@ -285,19 +293,24 @@ def _lp_packed(
         vertex_sidecar_writer(block_dir), schema="bucket int, n long"
     ).count()
 
-    packed_schema = "bucket int, payload binary, delta double, dangling double, active long"
-    init = (
-        vdf.select("id", F.col("id").alias("label"), "bucket")
-        .groupBy("bucket")
-        .applyInPandas(pack_fn(block_dir, "label", "int64"), schema=packed_schema)
+    checkpointer, pack_df, expand_df = make_packed_checkpointer(
+        checkpoint_dir, checkpoint_every, block_dir, n_part, "label", "int64"
     )
+    init = pack_df(vdf.select("id", F.col("id").alias("label")))
+    start, initial_metrics, state0 = 1, None, init
+    if resume and checkpointer is not None:
+        rp = resume_point(checkpointer, spark)
+        if rp is not None:
+            state0, last, initial_metrics = rp
+            start = last + 1
+
     gather = packed_gather_mode_fn(block_dir, n_part)
     finish = packed_finish_mode_fn(block_dir, n_part)
     msg_schema = "bucket int, src_bucket int, payload binary"
 
     def step(state: DataFrame, i: int) -> DataFrame:
         msgs = state.mapInPandas(gather, schema=msg_schema)
-        return msgs.groupBy("bucket").applyInPandas(finish, schema=packed_schema)
+        return msgs.groupBy("bucket").applyInPandas(finish, schema=PACKED_SCHEMA)
 
     def observe_cols() -> dict:
         return {"changed": F.sum("active")}
@@ -308,18 +321,18 @@ def _lp_packed(
 
     with _superstep_confs(spark, n_part):
         res = iterate(
-            init,
+            state0,
             step,
             stats,
             converged_fn=lambda rec: rec["active"] == 0,
             max_supersteps=max_supersteps,
+            checkpointer=checkpointer,
+            start_superstep=start,
+            initial_metrics=initial_metrics,
             observe_cols=observe_cols,
         )
     vdf.unpersist()
-    expanded = res.state.mapInPandas(
-        packed_expand_fn(block_dir, "int64", "label"), schema="id long, label long"
-    )
-    return LoopResult(state=expanded, metrics=res.metrics,
+    return LoopResult(state=expand_df(res.state), metrics=res.metrics,
                       supersteps=res.supersteps, converged=res.converged)
 
 

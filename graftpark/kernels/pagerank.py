@@ -422,8 +422,7 @@ def _pagerank_packed(
     from graftpark.blocks import (
         bucket_col,
         ensure_edge_blocks,
-        pack_fn,
-        packed_expand_fn,
+        make_packed_checkpointer,
         packed_finish_fn,
         packed_gather_fn,
         vertex_sidecar_writer,
@@ -451,32 +450,10 @@ def _pagerank_packed(
     ).count()
     n_dangling = vdf.where(F.col("out_deg") == 0).count()
 
-    def pack_df(expanded: DataFrame) -> DataFrame:
-        return (
-            expanded.withColumn("bucket", bucket_col("id", n_part).cast("int"))
-            .groupBy("bucket")
-            .applyInPandas(pack_fn(block_dir, "rank", payload_dtype), schema=_PACKED_SCHEMA)
-        )
-
-    def expand_df(packed: DataFrame) -> DataFrame:
-        return packed.mapInPandas(packed_expand_fn(block_dir, payload_dtype),
-                                  schema="id long, rank double")
-
-    class PackedCheckpointer(Checkpointer):
-        """Durable checkpoints stay per-vertex parquet (north_rule)."""
-
-        def save(self, state: DataFrame, superstep: int) -> DataFrame:
-            reread = super().save(expand_df(state), superstep)
-            return pack_df(reread)
-
-        def load(self, spark, superstep: int) -> DataFrame:
-            return pack_df(super().load(spark, superstep))
-
     k = max(1, steps_per_job)
-    checkpointer = (
-        PackedCheckpointer(checkpoint_dir, every=max(1, checkpoint_every // k))
-        if checkpoint_dir
-        else None
+    checkpointer, pack_df, expand_df = make_packed_checkpointer(
+        checkpoint_dir, max(1, checkpoint_every // k), block_dir, n_part,
+        "rank", payload_dtype,
     )
     init = pack_df(vdf.select("id", F.lit(1.0 / n).alias("rank")))
     start, initial_metrics, state0 = 1, None, init

@@ -253,7 +253,7 @@ def embedding_near_dups(
 
 
 def embedding_near_dups_lsh(
-    embeddings: DataFrame, threshold: float = 0.95, dim: int | None = None,
+    embeddings: DataFrame, threshold: float = 0.95, *, dim: int,
     n_planes: int = 16, bands: int = 4, seed: int = 42,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
@@ -268,11 +268,13 @@ def embedding_near_dups_lsh(
     whose signatures differ in every band is missed (pigeonhole
     guarantees recall for pairs within ``bands - 1`` flipped sign bits);
     ``embedding_near_dups`` remains the exact oracle for tests.
+
+    ``dim`` (the embedding length) is required so the plan stays fully
+    lazy — deriving it with a driver-side ``.head()`` would run an
+    action before the banded join of every probe.
     """
     from graftpark.pipeline.similarity import _hyperplanes, band_key_cols
 
-    if dim is None:
-        dim = len(embeddings.select(vec_col).head()[0])
     planes = _hyperplanes(dim, n_planes, seed)
     keys = band_key_cols(F.col(vec_col), planes, bands)
     banded = embeddings.select(

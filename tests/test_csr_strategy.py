@@ -154,6 +154,41 @@ def test_lp_packed_matches_dataframe(spark, powerlaw_graph, tmp_path):
     assert a == b
 
 
+def test_cc_packed_checkpoint_resume(spark, powerlaw_graph, tmp_path):
+    """The at-scale (packed) CC path is durable-checkpointable: kill after
+    superstep 2, resume, exact same components as an uninterrupted run —
+    strategy='auto' with checkpoint_dir no longer downgrades to csr."""
+    run_dir, blk = str(tmp_path / "run"), str(tmp_path / "blk")
+    full = _comps(connected_components(powerlaw_graph, strategy="packed", block_dir=blk))
+    connected_components(powerlaw_graph, strategy="packed", block_dir=blk,
+                         max_supersteps=2, checkpoint_dir=run_dir, checkpoint_every=2)
+    resumed = connected_components(powerlaw_graph, strategy="packed", block_dir=blk,
+                                   checkpoint_dir=run_dir, checkpoint_every=2,
+                                   resume=True)
+    assert resumed.converged
+    assert resumed.metrics[0]["superstep"] == 1  # metrics replayed from file
+    assert _comps(resumed) == full
+    # durable checkpoints are plain per-vertex parquet (north_rule)
+    reread = spark.read.parquet(str(tmp_path / "run" / "superstep=00002" / "state"))
+    assert set(reread.columns) == {"id", "comp"}
+
+
+def test_lp_packed_checkpoint_resume(spark, powerlaw_graph, tmp_path):
+    """Packed LP resumes from a durable checkpoint to the exact state an
+    uninterrupted run reaches (synchronous + deterministic tie-breaks)."""
+    run_dir, blk = str(tmp_path / "run"), str(tmp_path / "blk")
+    full_res = label_propagation(powerlaw_graph, strategy="packed",
+                                 max_supersteps=5, block_dir=blk)
+    full = {r["id"]: r["label"] for r in full_res.state.collect()}
+    label_propagation(powerlaw_graph, strategy="packed", max_supersteps=2, block_dir=blk,
+                      checkpoint_dir=run_dir, checkpoint_every=2)
+    resumed = label_propagation(powerlaw_graph, strategy="packed", max_supersteps=5,
+                                block_dir=blk, checkpoint_dir=run_dir,
+                                checkpoint_every=2, resume=True)
+    assert resumed.supersteps == full_res.supersteps
+    assert {r["id"]: r["label"] for r in resumed.state.collect()} == full
+
+
 def test_lp_packed_fixture(spark, tmp_path):
     from graftpark.fixtures import G30_HUB
     n, directed, edges = G30_HUB

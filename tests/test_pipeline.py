@@ -178,7 +178,7 @@ def test_embedding_near_dups_lsh_subset_and_recall(spark, embeddings):
     df, vecs = embeddings
     brute = {(r["a"], r["b"]) for r in embedding_near_dups(df, threshold=0.9).collect()}
     lsh = {(r["a"], r["b"]) for r in
-           embedding_near_dups_lsh(df, threshold=0.9, n_planes=16, bands=4).collect()}
+           embedding_near_dups_lsh(df, threshold=0.9, dim=8, n_planes=16, bands=4).collect()}
     assert lsh <= brute
     assert (0, 1) in lsh  # planted parallel pair collides in all bands
     # high-threshold matches are near-parallel → recall is high

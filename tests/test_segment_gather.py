@@ -39,7 +39,11 @@ def test_matches_reference_across_chunk_boundaries(monkeypatch, op, dtype):
         if op == "min":
             assert np.array_equal(got, want)
         else:
-            np.testing.assert_allclose(got, want, rtol=1e-5)
+            # dtype-dependent tolerance: the only permitted deviation is
+            # chunk-boundary regrouping of additions, which is ~eps-scale
+            # per dtype — a loose shared rtol would let a dropped or
+            # double-counted boundary element slip through for float64
+            np.testing.assert_allclose(got, want, rtol=1e-5 if dtype == np.float32 else 1e-12)
 
 
 def test_single_segment_spanning_every_chunk(monkeypatch):
