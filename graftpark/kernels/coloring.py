@@ -41,8 +41,9 @@ from graftpark.loop import LoopResult
 
 #: per-vertex status within the current outer round
 _ST_CAND = 0   # candidate for this round's independent set
-_ST_IS = 1     # selected into an IS (== colored; color column says when)
+_ST_IS = 1     # newly selected into the IS; not yet knockout-propagated
 _ST_KNOCKED = 2  # knocked out this round; candidate again next round
+_ST_DONE = 3   # colored AND knockout-propagated — inert from here on
 
 
 def mis_coloring(
@@ -135,9 +136,15 @@ def mis_coloring(
         t0 = time.monotonic()
         active = n_uncolored
         # lazy reset (merges into the first select job's plan): last
-        # round's knocked vertices are candidates again
+        # round's knocked vertices are candidates again, and an IS row
+        # left at _ST_IS by the every-candidate-selected early break must
+        # go inert (its neighbors are colored-or-knocked already; letting
+        # it propagate NEXT round would wrongly knock out new candidates)
         state = state.withColumn(
-            "st", F.when(F.col("color").isNull(), F.lit(_ST_CAND)).otherwise(F.col("st"))
+            "st",
+            F.when(F.col("color").isNull(), F.lit(_ST_CAND))
+            .when(F.col("st") == _ST_IS, F.lit(_ST_DONE))
+            .otherwise(F.col("st")),
         )
         inner_rounds = 0
         while True:
@@ -160,7 +167,7 @@ def mis_coloring(
                     F.when(sel, F.lit(_ST_IS)).otherwise(F.col("st")).cast("int").alias("st"),
                 ],
                 obs_cols={
-                    "n_is": F.count(F.when(F.col("st") == _ST_IS, True)),
+                    "n_is": F.count(F.when(F.col("color").isNotNull(), True)),
                     "n_cand": F.count(F.when(_is_cand, True)),
                 },
             )
@@ -174,9 +181,12 @@ def mis_coloring(
                 # every candidate was selected (e.g. an independent
                 # remainder) — nothing left to knock out, skip that job
                 break
-            # --- knockout job: neighbors of this round's IS leave the
-            # candidate set (P3 bool-or SpMV); counts ride the same job
-            is_cur = state.where((F.col("st") == _ST_IS) & (F.col("color") == color)).select("id")
+            # --- knockout job: neighbors of the NEWLY selected vertices
+            # leave the candidate set (P3 bool-or SpMV); counts ride the
+            # same job. Earlier inner rounds' IS members are _ST_DONE —
+            # their neighborhoods are already knocked out, so each inner
+            # round shuffles only the new selections' edges
+            is_cur = state.where(F.col("st") == _ST_IS).select("id")
             prop = sym.join(maybe_broadcast(is_cur, use_bc), sym.src == is_cur.id).select(
                 F.col("dst").alias("id"),
                 F.lit(None).cast("long").alias("w"),
@@ -189,7 +199,9 @@ def mis_coloring(
                 prop, state,
                 finish_cols=[
                     F.col("color"),
-                    F.when(knocked, F.lit(_ST_KNOCKED)).otherwise(F.col("st")).cast("int").alias("st"),
+                    F.when(knocked, F.lit(_ST_KNOCKED))
+                    .when(F.col("st") == _ST_IS, F.lit(_ST_DONE))
+                    .otherwise(F.col("st")).cast("int").alias("st"),
                 ],
                 obs_cols={"n_cand": F.count(F.when(_is_cand, True))},
             )
