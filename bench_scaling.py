@@ -72,10 +72,15 @@ spark = get_spark(
     },
 )
 g = Graph(spark.read.parquet(data), assume_normalized=True)
-# warm-up (builds CSR blocks on first level, primes JIT + worker pool)
+# warm-up (builds CSR blocks on first level, primes JIT + worker pool).
+# Must run ONE fused job of exactly the measured shape (same
+# steps_per_job): a 1-step warmup leaves the k-step fused pipeline's
+# codegen and per-shape slice caches cold, and the first timed job then
+# reads 1.3-3x slower than steady state (observed 2026-08-18).
 strategy = os.environ.get("GRAFTPARK_SCALING_STRATEGY", "packed")
-pagerank(g, tol=0.0, max_supersteps=2, strategy=strategy, block_dir=block_dir,
-         num_partitions=buckets,
+k = int(os.environ.get("GRAFTPARK_SCALING_STEPS_PER_JOB", "4" if strategy == "packed" else "1"))
+pagerank(g, tol=0.0, max_supersteps=k, steps_per_job=k, strategy=strategy,
+         block_dir=block_dir, num_partitions=buckets,
          payload_dtype=os.environ.get("GRAFTPARK_SCALING_DTYPE", "float32"))
 if os.environ.get("GRAFTPARK_SCALING_WARMUP_ONLY") == "1":
     print("SCALING_RESULT " + json.dumps({"warmup_only": True}))
@@ -83,7 +88,6 @@ if os.environ.get("GRAFTPARK_SCALING_WARMUP_ONLY") == "1":
     sys.exit(0)
 e_dir = g.edges.count()
 t0 = time.monotonic()
-k = int(os.environ.get("GRAFTPARK_SCALING_STEPS_PER_JOB", "4" if strategy == "packed" else "1"))
 dtype = os.environ.get("GRAFTPARK_SCALING_DTYPE", "float32")
 res = pagerank(g, tol=1e-6, max_supersteps=60, strategy=strategy,
                block_dir=block_dir, num_partitions=buckets, steps_per_job=k,
@@ -166,11 +170,25 @@ def main() -> None:
     prepare_input(n_edges, n_vertices, 42, data)
 
     t0 = time.monotonic()
-    # meta.json required too: ensure_edge_blocks rebuilds a dir without it
-    # (pre-metadata layout), and that rebuild must happen in this unpinned
-    # setup phase, not inside a pinned measured level
-    if not (os.path.exists(os.path.join(blocks, "_SUCCESS"))
-            and os.path.exists(os.path.join(blocks, "meta.json"))):
+
+    def _blocks_current() -> bool:
+        # meta.json required too: ensure_edge_blocks rebuilds a dir without
+        # it (pre-metadata layout) OR with a stale on-disk layout version,
+        # and that rebuild must happen in this unpinned setup phase, not
+        # inside a pinned measured level
+        if not os.path.exists(os.path.join(blocks, "_SUCCESS")):
+            return False
+        try:
+            with open(os.path.join(blocks, "meta.json")) as f:
+                meta = json.load(f)
+        except OSError:
+            return False
+        from graftpark.blocks import _LAYOUT_VERSION
+
+        return meta.get("layout") == _LAYOUT_VERSION
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if not _blocks_current():
         # one-time artifact build (blocks, sidecar, static positions) at
         # full parallelism, unpinned — setup, not part of either level
         run_level(os.cpu_count() or n_high, buckets, data, blocks, pin=False,
