@@ -166,3 +166,43 @@ def test_bucket_col_emits_partition_perfect_ids(spark):
         by_part.setdefault(r["p"], set()).add(r["bucket"])
     assert len(by_part) == b
     assert all(len(s) == 1 for s in by_part.values())
+
+
+# ---- src-monotone segments (block layout v4) ------------------------
+
+
+def test_blocks_sort_src_within_dst_segments(spark, tmp_path):
+    """Layout v4: within every (dst_bucket, dst) segment of a built
+    block, src — and therefore the derived gather positions — is
+    ascending. Segment sums are permutation-invariant, but the monotone
+    order is the measured concurrency win (tools/kernel_lab.py), so pin
+    it against regressions in either the Spark-side sortWithinPartitions
+    or the _build_npy defensive re-sort."""
+    import numpy as np
+
+    from graftpark.blocks import load_block
+    from graftpark.fixtures import powerlaw_edges_pdf
+
+    pdf = powerlaw_edges_pdf(20000, 1500, seed=7)
+    g = Graph(
+        spark.createDataFrame(pdf).selectExpr(
+            "cast(src as long) src", "cast(dst as long) dst"
+        ),
+        assume_normalized=True,
+    )
+    d = str(tmp_path / "blk")
+    ensure_edge_blocks(g.edges, 4, d)
+    seen_multi = 0
+    for b in range(4):
+        blk = load_block(d, b)
+        if blk is None or blk["n_edges"] == 0:
+            continue
+        src = np.asarray(blk["src_by_dst"])
+        starts = np.asarray(blk["starts"]).astype(np.int64)
+        bounds = np.append(starts, len(src))
+        seg_id = np.repeat(np.arange(len(starts)), np.diff(bounds))
+        # ascending within segments == no descent except at boundaries
+        interior = seg_id[1:] == seg_id[:-1]
+        assert not np.any(interior & (src[1:] < src[:-1]))
+        seen_multi += int(np.any(interior))
+    assert seen_multi  # fixture must actually exercise multi-edge segments
