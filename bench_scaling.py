@@ -295,9 +295,12 @@ partitioning (only the core budget differs — the sandbox stand-in for
 N vs 4N executors).
 
 Kernel plan (north_star strategy): per-bucket CSR adjacency blocks
-built once as mmap-shared .npy (int32 CSR indices, layout v3:
+built once as mmap-shared .npy (int32 CSR indices, layout v4:
 dst-bucket-contiguous partials — packed messages are direct slices,
-no rearrangement pass), gather-scatter inside Arrow UDFs
+no rearrangement pass — and src ascending within each dst segment, so
+gather positions are monotone per reduceat segment: measured ~26%
+faster per-bucket gather at 32-way on the bandwidth-saturated host,
+tools/kernel_lab.py), gather-scatter inside Arrow UDFs
 (cache-resident chunked np.add.reduceat), one packed keyed shuffle of
 ~P^2 binary rows per superstep, vectorized reduce, convergence via
 DataFrame.observe. Payload dtype:
