@@ -97,8 +97,9 @@ _SIMHASH_MAXH = 8
 
 def q_simhash_near_dups(spark, sf_dir):
     """Chunk-banded SimHash near-dup pairs: candidates must agree exactly
-    on one 16-bit signature chunk (pigeonhole bucketing — never
-    all-pairs), then a bit_count(xor) Hamming filter."""
+    on one signature chunk (pigeonhole bucketing over max_hamming + 1
+    chunks — never all-pairs, and recall is guaranteed at the requested
+    radius), then a bit_count(xor) Hamming filter."""
     from graftpark.pipeline.dedup import simhash_near_dups
 
     out = simhash_near_dups(_docs(spark, sf_dir), max_hamming=_SIMHASH_MAXH)
@@ -459,13 +460,20 @@ FROM embeddings
 
 def _simhash_near_dups_sql() -> str:
     """simhash_near_dups replica: the simhash oracle's per-bit vote sums,
-    packed both into the full 64-bit signature AND into the four 16-bit
-    chunk keys; candidate pairs agree on ≥1 chunk; Hamming distance =
-    bit_count(xor(sa, sb)) — identical bit math on both engines."""
+    packed both into the full 64-bit signature AND into the banded chunk
+    keys (same ``simhash_chunk_bounds(max_hamming + 1)`` split as the
+    engine, so the pigeonhole recall guarantee covers the requested
+    radius on both sides); candidate pairs agree on ≥1 chunk; Hamming
+    distance = bit_count(xor(sa, sb)) — identical bit math on both
+    engines."""
+    from graftpark.pipeline.dedup import simhash_chunk_bounds
+
+    bounds = simhash_chunk_bounds(max(4, _SIMHASH_MAXH + 1))
+    n_chunks = len(bounds)
     chunk_terms = ",\n     ".join(
-        f"CAST(SUM(CASE WHEN sv > 0 AND b >= {16 * c} AND b < {16 * (c + 1)} "
-        f"THEN CAST(2 ** (b - {16 * c}) AS BIGINT) ELSE 0 END) AS BIGINT)"
-        for c in range(4)
+        f"CAST(SUM(CASE WHEN sv > 0 AND b >= {start} AND b < {start + width} "
+        f"THEN CAST(2 ** (b - {start}) AS BIGINT) ELSE 0 END) AS BIGINT)"
+        for start, width in bounds
     )
     return f"""
 WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '[^ ]+')) AS tok FROM documents),
@@ -485,7 +493,7 @@ sig AS (
     [{chunk_terms}] AS cks
   FROM s GROUP BY doc_id),
 chunks AS (SELECT doc_id, simhash, chunk, cks[chunk + 1] AS ck
-           FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS chunk) t),
+           FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {n_chunks - 1})) AS chunk) t),
 cand AS (SELECT DISTINCT x.doc_id AS a, x.simhash AS sa, y.doc_id AS b, y.simhash AS sb
          FROM chunks x JOIN chunks y ON x.chunk = y.chunk AND x.ck = y.ck AND x.doc_id < y.doc_id)
 SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming

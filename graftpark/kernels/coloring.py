@@ -50,9 +50,31 @@ def mis_coloring(
     graph: Graph,
     max_colors: int = 10_000,
     num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = False,
+    priorities: DataFrame | None = None,
 ) -> LoopResult:
     """Result state: ``coloring(id: long, color: int)``; metrics include
     ``num_colors``. Proper coloring over the symmetrized graph.
+
+    ``converged`` is True iff every vertex got a color; if the
+    ``max_colors`` cap cuts the loop short, ``converged=False`` and the
+    still-uncolored vertices are omitted from the result state (so the
+    returned rows are always a proper partial coloring, never NULL
+    colors).
+
+    ``checkpoint_dir`` persists the full ``(id, w, color, st)`` state +
+    metrics every ``checkpoint_every`` outer rounds via the durable
+    parquet ``Checkpointer`` (north_rule: per-partition lineage,
+    resumable); ``resume=True`` continues from the last complete
+    checkpoint to the exact coloring an uninterrupted run produces
+    (the kernel is deterministic).
+
+    ``priorities`` (advanced hook, mainly for tests): a ``(id, w)``
+    DataFrame replacing the default degree-ranked weights. MUST be
+    injective — equal weights on adjacent candidates deadlock the
+    select step, which raises rather than returning a partial result.
 
     Scale shape (round-4 redesign): ONE unified state DataFrame
     ``(id, w, color, st)`` and exactly TWO actions per inner round —
@@ -79,19 +101,42 @@ def mis_coloring(
 
     from pyspark.sql import Observation
 
-    # static injective priorities (degree-ranked, id tie-break)
-    state = (
-        graph.degrees()
-        .select(
-            "id",
-            (F.col("deg") * F.lit(n + 1) + (F.lit(n) - F.col("id"))).alias("w"),
-            F.lit(None).cast("int").alias("color"),
-            F.lit(_ST_CAND).cast("int").alias("st"),
-        )
-        .repartition(n_part, "id")
-        .localCheckpoint(eager=True)
+    from graftpark.loop import Checkpointer, resume_point
+
+    checkpointer = (
+        Checkpointer(checkpoint_dir, every=checkpoint_every) if checkpoint_dir else None
     )
-    prev_rdd = _checkpoint_rdd(state)
+    state, start_color, metrics = None, 0, []
+    if resume and checkpointer is not None:
+        rp = resume_point(checkpointer, spark)
+        if rp is not None:
+            state, start_color, metrics = rp
+    if state is None:
+        if priorities is None:
+            # static injective priorities (degree-ranked, id tie-break)
+            w_col = F.col("deg") * F.lit(n + 1) + (F.lit(n) - F.col("id"))
+            base = graph.degrees()
+        else:
+            w_col = F.col("w").cast("long")
+            base = priorities
+        state = (
+            base.select(
+                "id",
+                w_col.alias("w"),
+                F.lit(None).cast("int").alias("color"),
+                F.lit(_ST_CAND).cast("int").alias("st"),
+            )
+            .repartition(n_part, "id")
+            .localCheckpoint(eager=True)
+        )
+        prev_rdd = _checkpoint_rdd(state)
+        colored_total = 0
+    else:
+        # resumed from durable parquet — no local-checkpoint RDD to free;
+        # the colored count is re-derived from the state itself (robust
+        # to a truncated metrics.jsonl)
+        prev_rdd = None
+        colored_total = state.where(F.col("color").isNotNull()).count()
 
     def _merge(prop, st_df, finish_cols, obs_cols):
         """UNION edge-propagated rows with one carrier per vertex, ONE
@@ -128,9 +173,8 @@ def mis_coloring(
         return out, got
 
     _is_cand = F.col("color").isNull() & (F.col("st") == _ST_CAND)
-    metrics: list[dict] = []
-    color = 0
-    n_uncolored, colored_total = n, 0
+    color = start_color
+    n_uncolored = n - colored_total
     while n_uncolored > 0 and color < max_colors:
         color += 1
         t0 = time.monotonic()
@@ -175,8 +219,15 @@ def mis_coloring(
             colored_total = int(got["n_is"])
             if n_selected == 0:
                 # unreachable with injective priorities (the max-weight
-                # candidate always selects); defensive stop
-                break
+                # candidate always selects) — so fail LOUDLY rather than
+                # silently returning a partial coloring with the round's
+                # survivors stuck at _ST_IS/_ST_CAND
+                raise RuntimeError(
+                    f"mis_coloring selected no vertices in outer round {color} "
+                    f"inner round {inner_rounds} with {int(got['n_cand'])} "
+                    "candidates remaining — priorities must be injective "
+                    "(adjacent candidates with equal w block each other)"
+                )
             if int(got["n_cand"]) == 0:
                 # every candidate was selected (e.g. an independent
                 # remainder) — nothing left to knock out, skip that job
@@ -213,19 +264,36 @@ def mis_coloring(
                 f"mis_coloring made no progress in outer round {color} "
                 f"({active} uncolored) — priorities not injective?"
             )
-        metrics.append(
-            {
-                "superstep": color,
-                "wall_s": time.monotonic() - t0,
-                "active": active,
-                "inner_rounds": inner_rounds,
-                "colored_total": colored_total,
-            }
-        )
+        rec = {
+            "superstep": color,
+            "wall_s": time.monotonic() - t0,
+            "active": active,
+            "inner_rounds": inner_rounds,
+            "colored_total": colored_total,
+        }
+        metrics.append(rec)
+        if checkpointer is not None:
+            checkpointer.record_metrics(rec)
+            if color % checkpointer.every == 0:
+                # durable outer-round boundary: the full (id, w, color, st)
+                # state as parquet + per-partition lineage; the resumed
+                # loop's lazy st reset makes mid-coloring state re-entrant
+                state = checkpointer.save(state, color)
+                if prev_rdd is not None:
+                    try:
+                        prev_rdd.unpersist(False)
+                    except Exception:
+                        pass
+                    prev_rdd = None
+    converged = n_uncolored == 0
     result = state.select("id", "color")
+    if not converged:
+        # max_colors cut the loop short: drop the NULL-color rows so the
+        # result is always a proper partial coloring (docstring contract)
+        result = result.where(F.col("color").isNotNull())
     if metrics:
         metrics[-1]["num_colors"] = color
-    return LoopResult(state=result, metrics=metrics, supersteps=color, converged=True)
+    return LoopResult(state=result, metrics=metrics, supersteps=color, converged=converged)
 
 
 def greedy_coloring(

@@ -369,6 +369,13 @@ def connected_components_twophase(
 
     Returns the same contract as ``connected_components``: state
     ``(id, comp)`` with comp = min vertex id of the component.
+
+    Convergence is probabilistic: the fixed-point probe compares the
+    edge sets of consecutive rounds by (count, two independent xor
+    fingerprints) rather than exact set difference — a false "equal"
+    requires a simultaneous collision in both 64-bit fingerprints
+    (~2^-128 per round). The exact ``exceptAll`` probe it replaced cost
+    an extra 2E-row shuffle join per round.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -396,19 +403,27 @@ def connected_components_twophase(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
 
-    def _edge_probe(df: DataFrame) -> tuple[int, int]:
-        """(count, order-independent content fingerprint) in ONE job —
-        the fixed-point test. Both rounds' edge sets are DISTINCT sets,
-        so equal (count, xor-of-xxhash64) means equal sets; this replaces
-        the previous ``exceptAll(e).count()`` probe, which cost an extra
-        2E-row shuffle join per round."""
+    def _edge_probe(df: DataFrame) -> tuple[int, int, int]:
+        """(count, two order-independent content fingerprints) in ONE
+        job — the fixed-point test. Both rounds' edge sets are DISTINCT
+        sets, so equal (count, xor-of-xxhash64, xor-of-rehash) means
+        equal sets; this replaces the previous ``exceptAll(e).count()``
+        probe, which cost an extra 2E-row shuffle join per round.
+
+        Probabilistic by construction: two distinct equal-size edge sets
+        whose per-row hashes xor to the same value would be declared
+        equal. The second, independently keyed fingerprint (xxhash64 of
+        the first hash — overflow-free, unlike a sum under ANSI mode)
+        drives the collision odds from ~2^-64 to ~2^-128 per round."""
+        h = F.xxhash64("u", "v")
         row = df.agg(
             F.count("*").alias("n"),
-            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("fp"),
+            F.coalesce(F.bit_xor(h), F.lit(0)).alias("fp"),
+            F.coalesce(F.bit_xor(F.xxhash64(h)), F.lit(0)).alias("fp2"),
         ).collect()[0]
-        return int(row["n"]), int(row["fp"])
+        return int(row["n"]), int(row["fp"]), int(row["fp2"])
 
-    n_edges, fp = _edge_probe(e)
+    n_edges, fp, fp2 = _edge_probe(e)
     converged = n_edges == 0
     rounds = start - 1
     import time
@@ -421,10 +436,10 @@ def connected_components_twophase(
             new = checkpointer.save(new, rounds)
         else:
             new = new.localCheckpoint(eager=True)
-        n_new, fp_new = _edge_probe(new)
-        converged = n_new == n_edges and fp_new == fp
+        n_new, fp_new, fp2_new = _edge_probe(new)
+        converged = n_new == n_edges and fp_new == fp and fp2_new == fp2
         e.unpersist()
-        e, n_edges, fp = new, n_new, fp_new
+        e, n_edges, fp, fp2 = new, n_new, fp_new, fp2_new
         rec = {"superstep": rounds, "wall_s": time.monotonic() - t0,
                "edges": n_edges, "active": 0 if converged else n_edges}
         metrics.append(rec)

@@ -193,20 +193,44 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     )
 
 
+def simhash_chunk_bounds(n_chunks: int) -> list[tuple[int, int]]:
+    """(start_bit, width) per chunk — the 64 signature bits split into
+    ``n_chunks`` contiguous chunks as evenly as possible. Shared by the
+    engine and the DuckDB driver oracle so both band identically."""
+    base, rem = divmod(64, n_chunks)
+    bounds, start = [], 0
+    for c in range(n_chunks):
+        w = base + (1 if c < rem else 0)
+        bounds.append((start, w))
+        start += w
+    return bounds
+
+
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
-                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                      id_col: str = "doc_id", text_col: str = "text",
+                      n_chunks: int | None = None) -> DataFrame:
     """(a, b, hamming) pairs with Hamming(simhash) ≤ max_hamming.
 
-    Candidates join on 16-bit chunks (4 bands): any pair within Hamming
-    3 must agree exactly on ≥1 chunk (pigeonhole), so the self-join is
-    bucketed, never all-pairs."""
+    Candidates join on contiguous bit chunks of the 64-bit signature:
+    a pair within Hamming ``n_chunks - 1`` must agree exactly on ≥1
+    chunk (pigeonhole), so the self-join is bucketed, never all-pairs.
+
+    Recall bound: banding GUARANTEES recall only for pairs within
+    Hamming ``n_chunks - 1`` — a pair whose flipped bits land in every
+    chunk is missed. ``n_chunks`` therefore defaults to
+    ``max(4, max_hamming + 1)`` so the guarantee covers the requested
+    radius; pass a smaller ``n_chunks`` explicitly to trade recall
+    (banded-candidate-limited results) for fewer candidate rows."""
+    if n_chunks is None:
+        n_chunks = max(4, max_hamming + 1)
+    bounds = simhash_chunk_bounds(n_chunks)
     counts = _simhash_counts(docs, id_col, text_col)
-    # chunk c's 16-bit value, derived from the same single aggregate
+    # chunk c's packed bit value, derived from the same single aggregate
     chunk_cols = []
-    for c in range(4):
+    for c, (start, width) in enumerate(bounds):
         v = F.lit(0).cast("long")
-        for j in range(16):
-            b = c * 16 + j
+        for j in range(width):
+            b = start + j
             v = v + F.when(2 * F.col(f"c{b}") > F.col("nt"), F.lit(1 << j).cast("long")).otherwise(
                 F.lit(0).cast("long")
             )
@@ -214,7 +238,7 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
     sig = counts.select("doc_id", _sig_from_counts().alias("simhash"), *chunk_cols)
     chunks = sig.select(
         "doc_id", "simhash",
-        F.posexplode(F.array(*[F.col(f"ck{c}") for c in range(4)])).alias("chunk", "ck"),
+        F.posexplode(F.array(*[F.col(f"ck{c}") for c in range(n_chunks)])).alias("chunk", "ck"),
     )
     x, y = chunks.alias("x"), chunks.alias("y")
     cand = (
