@@ -31,6 +31,10 @@ Workloads (seeded, deterministic):
                   the packed CSR-block strategy — the at-scale path;
                   its PageRank throughput is the headline
                   edges_per_sec_per_superstep
+- minhash_near_dups_sf / simhash_near_dups_sf / ann_probe_sf : the
+                  LLM-pipeline dedup + ANN family on the sf documents /
+                  embeddings tables (probe runs against a durable
+                  partition-pruned parquet index)
 """
 
 from __future__ import annotations
@@ -194,6 +198,28 @@ def main() -> None:
     # packed mode-semiring label propagation
     timed("lp_packed_pl",
           lambda: label_propagation(g_pl, max_supersteps=5, strategy="packed", block_dir=blk_sym))
+
+    # ---- LLM-pipeline family on the sf documents/embeddings tables ----
+    # correctness has driver rows; these record wall-times so dedup/ANN
+    # regressions become visible round-over-round (round-4 verdict #6)
+    from graftpark.pipeline.dedup import minhash_near_dups, simhash_near_dups
+    from graftpark.pipeline.similarity import ann_probe, build_ann_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+    docs.count()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+    emb.count()
+    timed("minhash_near_dups_sf", lambda: minhash_near_dups(docs).count())
+    timed("simhash_near_dups_sf", lambda: simhash_near_dups(docs, max_hamming=8).count())
+    # ANN: durable partition-pruned index built once (setup, untimed);
+    # the timed path is the multi-probe query against the parquet index
+    first = emb.orderBy("vec_id").select("embedding").head()
+    qv = [float(x) for x in first[0]]
+    ann_dir = f"/tmp/graftpark-bench-ann-sf{sf}"
+    idx = build_ann_index(emb, dim=len(qv), path=ann_dir)
+    timed("ann_probe_sf", lambda: ann_probe(idx, qv, k=10).count())
+    docs.unpersist()
+    emb.unpersist()
 
     total = time.monotonic() - t_all
     out = {

@@ -147,6 +147,27 @@ def q_pagerank_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_pagerank_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north_rule resume contract, in front of the external oracle:
+    run packed PageRank for half the supersteps with a durable
+    checkpoint, DISCARD that run (the simulated crash), resume from the
+    checkpoint to the full PR_STEPS — the final ranks must equal an
+    uninterrupted PR_STEPS-step run (oracle = the pagerank_fixed SQL).
+    """
+    import tempfile
+
+    g = Graph(edges_from_testdata(spark, sf_dir))
+    run_dir = tempfile.mkdtemp(prefix="graftpark-pr-resume-")
+    half = PR_STEPS // 2
+    pagerank(g, alpha=ALPHA, tol=0.0, max_supersteps=half, strategy="packed",
+             checkpoint_dir=run_dir, checkpoint_every=half)
+    res = pagerank(g, alpha=ALPHA, tol=0.0, max_supersteps=PR_STEPS, strategy="packed",
+                   checkpoint_dir=run_dir, checkpoint_every=half, resume=True)
+    out = res.state.select("id", F.round("rank", 8).alias("rank"))
+    g.unpersist()
+    return out
+
+
 def q_cc_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cc_bipartite via the CSR-block min-propagation strategy."""
     g = Graph(edges_from_testdata(spark, sf_dir))
@@ -541,6 +562,7 @@ ORACLE_SQL["mis_coloring_sparse"] = _mis_coloring_sql(
     _NATION_SPARSE_CTE, "nsf", "nvf", n_outer=14, n_inner=6
 )
 ORACLE_SQL["pagerank_packed"] = ORACLE_SQL["pagerank_fixed"]
+ORACLE_SQL["pagerank_resume"] = ORACLE_SQL["pagerank_fixed"]
 ORACLE_SQL["cc_csr"] = ORACLE_SQL["cc_bipartite"]
 ORACLE_SQL["cc_packed"] = ORACLE_SQL["cc_bipartite"]
 ORACLE_SQL["cc_twophase"] = ORACLE_SQL["cc_bipartite"]
@@ -559,6 +581,7 @@ QUERIES = {
     "pagerank_fixed": q_pagerank_fixed,
     "pagerank_csr": q_pagerank_csr,
     "pagerank_packed": q_pagerank_packed,
+    "pagerank_resume": q_pagerank_resume,
     "cc_nation": q_cc_nation,
     "cc_csr": q_cc_csr,
     "cc_packed": q_cc_packed,

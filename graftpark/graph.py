@@ -202,6 +202,43 @@ class Graph:
         vdf = spark.createDataFrame([(int(i),) for i in node_ids] or [], "id LONG") if node_ids else None
         return cls(edf, vertices=vdf)
 
+    def to_gml(self, path: str, directed: bool = False,
+               max_collect_edges: int = 5_000_000) -> None:
+        """Write Newman-style GML — export symmetry for ``from_gml``
+        (the reference round-trips graphs via loadgraph/savegraph,
+        test/runtests.jl:297-313). Driver-side writer, same rationale as
+        the from_gml parser: GML is a single sequential text format for
+        metadata-sized graphs; at-scale interchange is parquet.
+
+        ``directed=False`` writes each undirected edge once as
+        (min, max) — from_gml re-symmetrizes on load; ``directed=True``
+        writes ``self.edges`` as-is with the GML directed flag set.
+        """
+        if directed:
+            edf = self.edges.select("src", "dst").distinct()
+        else:
+            edf = (
+                self.edges_sym()
+                .select(F.least("src", "dst").alias("src"),
+                        F.greatest("src", "dst").alias("dst"))
+                .distinct()
+            )
+        n_edges = edf.count()
+        if n_edges > max_collect_edges:
+            raise ValueError(f"to_gml is a driver-side writer; graph too large ({n_edges} edges)")
+        edges = sorted((r["src"], r["dst"]) for r in edf.collect())
+        nodes = sorted(r["id"] for r in self.vertices().collect())
+        # Newman layout: the node/edge keyword on its own line (what
+        # from_gml and the reference's parser key on), bracket next line
+        with open(path, "w") as f:
+            f.write("graph\n[\n")
+            f.write(f"  directed {1 if directed else 0}\n")
+            for v in nodes:
+                f.write(f"  node\n  [\n    id {v}\n  ]\n")
+            for u, v in edges:
+                f.write(f"  edge\n  [\n    source {u}\n    target {v}\n  ]\n")
+            f.write("]\n")
+
     # -- derived tables ----------------------------------------------
     def vertices(self) -> DataFrame:
         if self._vertices is None:

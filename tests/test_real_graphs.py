@@ -62,3 +62,31 @@ def test_gml_load_bfs(spark):
     assert res.supersteps < 50
     reached = res.state.count()
     assert reached > 0.9 * n
+
+
+def test_gml_round_trip(spark, tmp_path):
+    """to_gml/from_gml export symmetry (reference loadgraph/savegraph
+    round-trip, test/runtests.jl:297-313): write the routers graph back
+    out as GML, reload, and require the identical vertex and symmetrized
+    edge sets."""
+    g = Graph.from_csv(spark, f"{DATA}/routers.csv", directed=False)
+    out = str(tmp_path / "routers_roundtrip.gml")
+    g.to_gml(out, directed=False)
+    g2 = Graph.from_gml(spark, out)
+    assert g2.num_vertices() == g.num_vertices()
+    assert set(map(tuple, g2.vertices().collect())) == set(map(tuple, g.vertices().collect()))
+    a = {(r["src"], r["dst"]) for r in g.edges_sym().collect()}
+    b = {(r["src"], r["dst"]) for r in g2.edges_sym().collect()}
+    assert a == b
+    # the file honors the format from_gml parses: flag + node/edge blocks
+    head = open(out).read(200)
+    assert head.startswith("graph\n[\n  directed 0\n  node\n  [")
+
+
+def test_gml_round_trip_directed(spark, tmp_path):
+    """Directed export preserves edge orientation through the flag."""
+    g = Graph(spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src LONG, dst LONG"))
+    out = str(tmp_path / "tri.gml")
+    g.to_gml(out, directed=True)
+    g2 = Graph.from_gml(spark, out)  # directed=None honors the file flag
+    assert {(r["src"], r["dst"]) for r in g2.edges.collect()} == {(1, 2), (2, 3), (3, 1)}
