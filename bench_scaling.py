@@ -48,8 +48,15 @@ tasks = int(os.environ.get("GRAFTPARK_SCALING_TASKS") or cpus)
 buckets = int(os.environ["GRAFTPARK_SCALING_BUCKETS"])
 data = os.environ["GRAFTPARK_SCALING_DATA"]
 block_dir = os.environ["GRAFTPARK_SCALING_BLOCKS"]
+# master template hook: the default measures thread-count scaling in one
+# JVM (local[N]); GRAFTPARK_SCALING_MASTER_TEMPLATE="local-cluster[{execs},4,4096]"
+# measures EXECUTOR-count scaling (separate executor JVMs + real
+# RPC/shuffle layer on one box) with {execs} = tasks/4 — the closest
+# sandbox analogue of the north rule's N vs 4N executors
+master_tpl = os.environ.get("GRAFTPARK_SCALING_MASTER_TEMPLATE", "local[{tasks}]")
+master = master_tpl.format(tasks=tasks, cpus=cpus, execs=max(1, tasks // 4))
 spark = get_spark(
-    master=f"local[{tasks}]",
+    master=master,
     app_name=f"graftpark-scaling-{cpus}",
     shuffle_partitions=buckets,
     extra={
@@ -222,6 +229,7 @@ def main() -> None:
         "high": high,
         "criterion": ">=0.8 between N and 4N parallelism",
         "pinned_cores": pin,
+        "master_template": os.environ.get("GRAFTPARK_SCALING_MASTER_TEMPLATE", "local[{tasks}]"),
         "wall_s": round(time.monotonic() - t0, 1),
     }
     record_pair(n_low, n_high, result)
@@ -251,6 +259,11 @@ def record_pair(n_low: int, n_high: int, result: dict) -> None:
     result = dict(result, measured_at=time.strftime("%Y-%m-%d %H:%M:%S"),
                   block_layout=_LAYOUT_VERSION)
     key = f"{n_low}->{n_high}"
+    if "local-cluster" in result.get("master_template", ""):
+        # executor-count pairs live under their own key — they measure a
+        # different resource (separate JVMs + RPC shuffle) than the
+        # thread-count local[N] pairs and must never mix histories
+        key += " local-cluster"
     entry = pairs.get(key) or {"runs": []}
     if "runs" not in entry:  # legacy single-run entry: wrap it
         entry = {"runs": [entry]}
@@ -279,18 +292,25 @@ def write_baseline_md(n_vertices: int, buckets: int) -> None:
         best = max(runs, key=lambda r: r["value"])
         lo, hi = best["low"], best["high"]
         edges = edges or lo["edges"]
-        n_lo, n_hi = _key(k), int(k.split("->")[1])
+        lc = "local-cluster" in k
+        n_lo, n_hi = _key(k), int(k.split("->")[1].split()[0])
+        label = (
+            (lambda n: f"local-cluster[{max(1, n // 4)}x4] (pinned {n} cores)")
+            if lc
+            else (lambda n: f"local[{n}] (pinned {n} cores)")
+        )
         rows.append(
-            f"| local[{n_lo}] (pinned {n_lo} cores) | {lo['supersteps']} | "
+            f"| {label(n_lo)} | {lo['supersteps']} | "
             f"{lo['mean_superstep_s']} | {lo['edges_per_sec_per_superstep']:,} |"
         )
         rows.append(
-            f"| local[{n_hi}] (pinned {n_hi} cores) | {hi['supersteps']} | "
+            f"| {label(n_hi)} | {hi['supersteps']} | "
             f"{hi['mean_superstep_s']} | {hi['edges_per_sec_per_superstep']:,} |"
         )
         met = "MET" if best["value"] >= 0.8 else "NOT met"
+        kind = " (executor-count, separate JVMs)" if lc else ""
         summaries.append(
-            f"- **{n_lo} -> {n_hi} cores: efficiency {best['value']:.3f}** "
+            f"- **{n_lo} -> {n_hi} cores{kind}: efficiency {best['value']:.3f}** "
             f"({met}; best of {len(runs)} run(s), {n_lo}-core best "
             f"{lo['edges_per_sec_per_superstep']:,} e/s vs {n_hi}-core best "
             f"{hi['edges_per_sec_per_superstep']:,} e/s)"
