@@ -386,6 +386,18 @@ subsystem, not by the engine's dataflow — quantified in round 3:
   moved nothing outside noise; per-bucket edge-byte skew across the
   {buckets} buckets is max/mean = 1.38, so the makespan is not bucket
   imbalance.
+- Round 5 measured the EXECUTOR-COUNT analogue directly: the same job
+  under `local-cluster[2,4,*]` vs `local-cluster[8,4,*]` — separate
+  executor JVMs, own BlockManagers and Python worker pools, real RPC
+  shuffle between processes, same pinned 8/32-core budgets. The
+  2-executor level is the FASTEST 8-core reading ever recorded here
+  (45.6M e/s, beating every single-JVM local[8] run), i.e. the
+  engine's multi-process path adds no overhead at the low level, while
+  the 8-executor level lands at 92.1M e/s — inside the same
+  ~90-115M e/s 32-core ceiling as every thread-count run. Per-core
+  throughput falls 5.7M -> 2.9M e/s/core from 8 to 32 busy cores
+  REGARDLESS of process topology: the ceiling is the box's one memory
+  subsystem, not JVM count, scheduling, or the shuffle layer.
 
 On a real N vs 4N EXECUTOR cluster each executor brings its own memory
 bandwidth and NVMe, which is exactly the resource that saturates here;
