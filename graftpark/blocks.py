@@ -874,6 +874,164 @@ def packed_finish_fn(block_dir: str, num_buckets: int, n_vertices: int, alpha: f
     return fn
 
 
+def _binary_tiles(values: np.ndarray, byte_offsets: np.ndarray):
+    """Zero-copy ``pa.BinaryArray`` whose row *i* is the slice
+    ``values[byte_offsets[i]:byte_offsets[i+1]]`` (byte addressed) of the
+    SAME underlying buffer — no per-row ``tobytes()`` copies. The
+    returned array holds a reference to ``values``' memory, and the
+    Arrow stream serializer writes each yielded batch before the next is
+    produced, so lifetime is safe inside mapInArrow generators."""
+    import pyarrow as pa
+
+    off = np.ascontiguousarray(byte_offsets, dtype=np.int32)
+    if len(off) == 0 or int(off[-1]) != values.nbytes:
+        raise ValueError("byte_offsets must tile the values buffer exactly")
+    return pa.BinaryArray.from_buffers(
+        pa.binary(), len(off) - 1, [None, pa.py_buffer(off), pa.py_buffer(values)]
+    )
+
+
+def packed_gather_arrow_fn(block_dir: str, num_buckets: int, dtype: str = "float64"):
+    """mapInArrow twin of :func:`packed_gather_fn` — identical rows and
+    semantics, minus two full-payload copies per superstep.
+
+    The pandas path pays ``partial[lo:hi].tobytes()`` (one full copy of
+    every outgoing payload) plus the pandas→Arrow serializer copy of the
+    resulting bytes objects. Layout v3+ stores the per-dst partial
+    vector dst-bucket-contiguous, so here the P outgoing messages are
+    ONE zero-copy BinaryArray whose offsets tile the partial's own
+    buffer (`_binary_tiles`); the only full-payload write left on the
+    gather side is the segment reduce itself. On a DRAM-bandwidth-bound
+    high-core level this deletes ~2 payload-sized DRAM round-trips per
+    src bucket per superstep; results are bit-identical (same values,
+    same reduce, only the serialization changes).
+    """
+    import pyarrow as pa
+
+    dt = np.dtype(dtype)
+    bids = bucket_ids_sorted(num_buckets)
+    bids_i32 = np.ascontiguousarray(bids, dtype=np.int32)
+    schema = pa.schema(
+        [("bucket", pa.int32()), ("src_bucket", pa.int32()), ("payload", pa.binary())]
+    )
+    all_dst = pa.array(bids_i32)
+    dang_src = pa.array(np.full(num_buckets, -2, np.int32))
+    dang_off = np.arange(num_buckets + 1, dtype=np.int64) * 8
+
+    def fn(batches):
+        import time
+
+        for batch in batches:
+            bcol = batch.column(batch.schema.get_field_index("bucket"))
+            pcol = batch.column(batch.schema.get_field_index("payload"))
+            for i in range(batch.num_rows):
+                t0 = time.perf_counter()
+                b = int(bcol[i].as_py())
+                pbuf = pcol[i].as_buffer()
+                # carrier row (src_bucket=-1): re-wrap the input buffer
+                carrier = pa.BinaryArray.from_buffers(
+                    pa.binary(), 1,
+                    [None, pa.py_buffer(np.asarray([0, pbuf.size], np.int32)), pbuf],
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([b], pa.int32()), pa.array([-1], pa.int32()), carrier],
+                    schema=schema,
+                )
+                vtx = load_vertices(block_dir, b)
+                if vtx is None:
+                    continue
+                rank = np.frombuffer(pbuf, dtype=dt)
+                od = np.asarray(vtx["out_deg"])
+                dang = float(rank[od == 0].astype(np.float64).sum())
+                yield pa.RecordBatch.from_arrays(
+                    [all_dst, dang_src,
+                     _binary_tiles(np.full(num_buckets, dang, np.float64), dang_off)],
+                    schema=schema,
+                )
+                blk = load_block(block_dir, b)
+                if blk is None or blk["n_edges"] == 0:
+                    continue
+                w = np.divide(rank, od, out=np.zeros(len(rank), dtype=dt), where=od > 0)
+                pos = _static_positions(block_dir, b, blk)
+                partial = segment_gather_reduce(w, pos, blk["starts"], "sum")
+                off = np.asarray(_gather_offsets(block_dir, b, blk, num_buckets))
+                # offsets at the (sparse) actual bucket ids tile the
+                # partial exactly: absent ids contribute zero counts, so
+                # off[bids[j+1]] == end of bucket bids[j]'s segment.
+                # Pairs with no edges become empty-payload rows (the
+                # finish's scatter segment for them is empty too).
+                seg = np.empty(num_buckets + 1, np.int64)
+                seg[:-1] = off[bids]
+                seg[-1] = off[-1]
+                yield pa.RecordBatch.from_arrays(
+                    [all_dst, pa.array(np.full(num_buckets, b, np.int32)),
+                     _binary_tiles(partial, seg * dt.itemsize)],
+                    schema=schema,
+                )
+                _trace("pgather", t0, bucket=b, edges=blk["n_edges"])
+
+    return fn
+
+
+def packed_finish_arrow_fn(block_dir: str, num_buckets: int, n_vertices: int,
+                           alpha: float, tol_active: float, dtype: str = "float64"):
+    """applyInArrow twin of :func:`packed_finish_fn` — identical math,
+    but payloads are read straight out of the Arrow IPC buffers
+    (``scalar.as_buffer()`` → ``np.frombuffer``, zero-copy) instead of
+    being materialized as Python ``bytes`` objects (one full copy per
+    incoming payload in the pandas path)."""
+    import pyarrow as pa
+
+    dt = np.dtype(dtype)
+    out_schema = pa.schema(
+        [("bucket", pa.int32()), ("payload", pa.binary()), ("delta", pa.float64()),
+         ("dangling", pa.float64()), ("active", pa.int64())]
+    )
+
+    def fn(key, table):
+        import time
+
+        t0 = time.perf_counter()
+        c = int(key[0].as_py())
+        vtx = load_vertices(block_dir, c)
+        if vtx is None:
+            return out_schema.empty_table()
+        n_c = len(vtx["ids"])
+        prev = None
+        dm = 0.0
+        sums = np.zeros(n_c, dtype=dt)
+        flay = _finish_layout(block_dir, c, num_buckets)
+        fpos, foff = np.asarray(flay["pos"]), np.asarray(flay["offsets"])
+        srcb = table.column("src_bucket").to_numpy()
+        pcol = table.column("payload")
+        for i in range(len(srcb)):
+            b = int(srcb[i])
+            buf = pcol[i].as_buffer()
+            if b == -1:
+                prev = np.frombuffer(buf, dtype=dt)
+            elif b == -2:
+                dm += float(np.frombuffer(buf, dtype=np.float64)[0])
+            else:
+                sums[fpos[foff[b]:foff[b + 1]]] += np.frombuffer(buf, dtype=dt)
+        if prev is None:
+            prev = np.zeros(n_c, dtype=dt)
+        base = (1.0 - alpha) / n_vertices + alpha * dm / n_vertices
+        new = (base + alpha * sums.astype(np.float64, copy=False)).astype(dt, copy=False)
+        diff = np.abs(new.astype(np.float64, copy=False) - prev.astype(np.float64, copy=False))
+        od = np.asarray(vtx["out_deg"])
+        _trace("pfinish", t0, bucket=c, msgs=len(srcb))
+        return pa.Table.from_arrays(
+            [pa.array([c], pa.int32()),
+             _binary_tiles(new, np.asarray([0, new.nbytes], np.int64)),
+             pa.array([float(diff.sum())], pa.float64()),
+             pa.array([float(new[od == 0].astype(np.float64).sum())], pa.float64()),
+             pa.array([int((diff > tol_active).sum())], pa.int64())],
+            schema=out_schema,
+        )
+
+    return fn
+
+
 def packed_expand_fn(block_dir: str, dtype: str = "float64", out_col: str = "rank"):
     """mapInPandas fn: packed state rows → per-vertex (id, value) rows."""
     dt = np.dtype(dtype)

@@ -39,6 +39,7 @@ def pagerank(
     block_dir: str | None = None,
     steps_per_job: int = 1,
     payload_dtype: str = "float64",
+    arrow_native: bool | None = None,
 ) -> LoopResult:
     """Ranks sum to 1 over the full vertex set (isolated vertices included).
 
@@ -72,7 +73,7 @@ def pagerank(
     if strategy == "packed":
         return _pagerank_packed(
             graph, n, alpha, tol, max_supersteps, checkpoint_dir, checkpoint_every,
-            resume, n_part, block_dir, steps_per_job, payload_dtype,
+            resume, n_part, block_dir, steps_per_job, payload_dtype, arrow_native,
         )
     use_bc = choose_strategy(n, broadcast_state)
     graph.persist_for_iteration(n_part, key=None if use_bc else "src", sym=False)
@@ -397,6 +398,7 @@ def _pagerank_packed(
     block_dir: str | None,
     steps_per_job: int = 1,
     payload_dtype: str = "float64",
+    arrow_native: bool | None = None,
 ) -> LoopResult:
     """Packed-message CSR strategy — the at-scale execution path.
 
@@ -423,7 +425,9 @@ def _pagerank_packed(
         bucket_col,
         ensure_edge_blocks,
         make_packed_checkpointer,
+        packed_finish_arrow_fn,
         packed_finish_fn,
+        packed_gather_arrow_fn,
         packed_gather_fn,
         vertex_sidecar_writer,
     )
@@ -465,14 +469,27 @@ def _pagerank_packed(
 
     # superstep-independent UDFs: the damping base is derived inside the
     # reduce from the dangling-mass broadcast rows, so ``k`` supersteps
-    # chain into ONE query (one driver roundtrip, one lineage truncation)
-    gather = packed_gather_fn(block_dir, n_part, payload_dtype)
-    finish = packed_finish_fn(block_dir, n_part, n, alpha, tol / n, payload_dtype)
+    # chain into ONE query (one driver roundtrip, one lineage truncation).
+    # arrow_native=True routes through mapInArrow/applyInArrow (same rows,
+    # zero-copy payload serialization — blocks.py packed_gather_arrow_fn);
+    # GRAFTPARK_PACKED_ARROW=0 falls back to the pandas UDF path.
+    if arrow_native is None:
+        arrow_native = os.environ.get("GRAFTPARK_PACKED_ARROW", "1") == "1"
     msg_schema = "bucket int, src_bucket int, payload binary"
+    if arrow_native:
+        gather = packed_gather_arrow_fn(block_dir, n_part, payload_dtype)
+        finish = packed_finish_arrow_fn(block_dir, n_part, n, alpha, tol / n, payload_dtype)
 
-    def one_superstep(state: DataFrame) -> DataFrame:
-        msgs = state.mapInPandas(gather, schema=msg_schema)
-        return msgs.groupBy("bucket").applyInPandas(finish, schema=_PACKED_SCHEMA)
+        def one_superstep(state: DataFrame) -> DataFrame:
+            msgs = state.mapInArrow(gather, schema=msg_schema)
+            return msgs.groupBy("bucket").applyInArrow(finish, schema=_PACKED_SCHEMA)
+    else:
+        gather = packed_gather_fn(block_dir, n_part, payload_dtype)
+        finish = packed_finish_fn(block_dir, n_part, n, alpha, tol / n, payload_dtype)
+
+        def one_superstep(state: DataFrame) -> DataFrame:
+            msgs = state.mapInPandas(gather, schema=msg_schema)
+            return msgs.groupBy("bucket").applyInPandas(finish, schema=_PACKED_SCHEMA)
 
     def step(state: DataFrame, i: int) -> DataFrame:
         out = state

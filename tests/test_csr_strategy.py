@@ -73,6 +73,25 @@ def test_pagerank_packed_matches_dataframe(spark, powerlaw_graph, tmp_path):
     assert abs(sum(b.values()) - 1.0) < 1e-9
 
 
+def test_pagerank_packed_arrow_matches_pandas(spark, powerlaw_graph, tmp_path):
+    """The Arrow-native packed path (mapInArrow/applyInArrow with
+    zero-copy payload tiling, blocks.py packed_gather_arrow_fn) is the
+    SAME dataflow as the pandas-UDF packed path — only the payload
+    serialization changes — so ranks must agree to float-sum-order
+    tolerance and checkpoint/fusion behavior is shared."""
+    blk = str(tmp_path / "blk")
+    a = _ranks(pagerank(powerlaw_graph, strategy="packed", max_supersteps=12, tol=0.0,
+                        block_dir=blk, arrow_native=True))
+    b = _ranks(pagerank(powerlaw_graph, strategy="packed", max_supersteps=12, tol=0.0,
+                        block_dir=blk, arrow_native=False))
+    assert set(a) == set(b)
+    assert max(abs(a[k] - b[k]) for k in a) < 1e-12
+    # fused supersteps (one query per k) through the Arrow path too
+    c = _ranks(pagerank(powerlaw_graph, strategy="packed", max_supersteps=12, tol=0.0,
+                        block_dir=blk, arrow_native=True, steps_per_job=4))
+    assert max(abs(a[k] - c[k]) for k in a) < 1e-12
+
+
 def test_pagerank_packed_checkpoint_resume(spark, powerlaw_graph, tmp_path):
     run_dir, blk = str(tmp_path / "run"), str(tmp_path / "blk")
     full = pagerank(powerlaw_graph, strategy="packed", max_supersteps=8, tol=0.0,
