@@ -1388,3 +1388,280 @@ def packed_finish_mode_fn(block_dir: str, num_buckets: int):
         )
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# Arrow-native twins of the min/mode packed semirings. Identical rows and
+# math to the pandas fns above — only the payload serialization changes
+# (zero-copy BinaryArray tiling on the way out, buffer reads on the way
+# in), mirroring packed_gather_arrow_fn / packed_finish_arrow_fn for
+# PageRank. On the DRAM-bandwidth-bound high-core levels this deletes the
+# tobytes()/bytes->Arrow payload copies from every superstep.
+# ---------------------------------------------------------------------------
+
+
+def packed_gather_min_arrow_fn(block_dir: str, num_buckets: int):
+    """mapInArrow twin of :func:`packed_gather_min_fn`.
+
+    Layout v3+ stores the per-dst minima dst-bucket-contiguous, so the P
+    outgoing int64 messages are ONE zero-copy BinaryArray tiling the
+    partial's own buffer. Unlike the pandas fn (which skips empty
+    segments) this emits all P rows — empty-payload rows are no-ops in
+    the finish, so results are identical.
+    """
+    import pyarrow as pa
+
+    bids = bucket_ids_sorted(num_buckets)
+    bids_i32 = np.ascontiguousarray(bids, dtype=np.int32)
+    schema = pa.schema(
+        [("bucket", pa.int32()), ("src_bucket", pa.int32()), ("payload", pa.binary())]
+    )
+    all_dst = pa.array(bids_i32)
+
+    def fn(batches):
+        import time
+
+        for batch in batches:
+            bcol = batch.column(batch.schema.get_field_index("bucket"))
+            pcol = batch.column(batch.schema.get_field_index("payload"))
+            for i in range(batch.num_rows):
+                t0 = time.perf_counter()
+                b = int(bcol[i].as_py())
+                pbuf = pcol[i].as_buffer()
+                carrier = pa.BinaryArray.from_buffers(
+                    pa.binary(), 1,
+                    [None, pa.py_buffer(np.asarray([0, pbuf.size], np.int32)), pbuf],
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([b], pa.int32()), pa.array([-1], pa.int32()), carrier],
+                    schema=schema,
+                )
+                blk = load_block(block_dir, b)
+                if blk is None or blk["n_edges"] == 0:
+                    continue
+                labels = np.frombuffer(pbuf, dtype=np.int64)
+                pos = _static_positions(block_dir, b, blk)
+                partial = segment_gather_reduce(labels, pos, blk["starts"], "min")
+                off = np.asarray(_gather_offsets(block_dir, b, blk, num_buckets))
+                seg = np.empty(num_buckets + 1, np.int64)
+                seg[:-1] = off[bids]
+                seg[-1] = off[-1]
+                yield pa.RecordBatch.from_arrays(
+                    [all_dst, pa.array(np.full(num_buckets, b, np.int32)),
+                     _binary_tiles(partial, seg * 8)],
+                    schema=schema,
+                )
+                _trace("pgather_min", t0, bucket=b, edges=blk["n_edges"])
+
+    return fn
+
+
+def packed_finish_min_arrow_fn(block_dir: str, num_buckets: int):
+    """applyInArrow twin of :func:`packed_finish_min_fn` — payloads are
+    read straight from the Arrow IPC buffers (zero-copy) and the next
+    label vector goes out as a tiled BinaryArray."""
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [("bucket", pa.int32()), ("payload", pa.binary()), ("delta", pa.float64()),
+         ("dangling", pa.float64()), ("active", pa.int64())]
+    )
+
+    def fn(key, table):
+        import time
+
+        t0 = time.perf_counter()
+        c = int(key[0].as_py())
+        vtx = load_vertices(block_dir, c)
+        if vtx is None:
+            return out_schema.empty_table()
+        flay = _finish_layout(block_dir, c, num_buckets)
+        fpos, foff = np.asarray(flay["pos"]), np.asarray(flay["offsets"])
+        srcb = table.column("src_bucket").to_numpy()
+        pcol = table.column("payload")
+        prev = None
+        msgs = []
+        for i in range(len(srcb)):
+            b = int(srcb[i])
+            buf = pcol[i].as_buffer()
+            if b == -1:
+                prev = np.frombuffer(buf, dtype=np.int64)
+            else:
+                msgs.append((b, buf))
+        if prev is None:
+            prev = np.full(len(vtx["ids"]), np.iinfo(np.int64).max, dtype=np.int64)
+        new = prev.copy()
+        for b, buf in msgs:
+            seg = fpos[foff[b]:foff[b + 1]]  # unique positions within one b
+            vals = np.frombuffer(buf, dtype=np.int64)
+            new[seg] = np.minimum(new[seg], vals)
+        changed = int((new != prev).sum())
+        _trace("pfinish_min", t0, bucket=c, msgs=len(srcb))
+        return pa.Table.from_arrays(
+            [pa.array([c], pa.int32()),
+             _binary_tiles(new, np.asarray([0, new.nbytes], np.int64)),
+             pa.array([float(changed)], pa.float64()),
+             pa.array([0.0], pa.float64()),
+             pa.array([changed], pa.int64())],
+            schema=out_schema,
+        )
+
+    return fn
+
+
+def packed_gather_mode_arrow_fn(block_dir: str, num_buckets: int):
+    """mapInArrow twin of :func:`packed_gather_mode_fn`.
+
+    The mode payload is composite (k[int32] + labels[int64] +
+    counts[int32] per dst segment), so it cannot alias the partial
+    buffer directly; instead all P payloads are written ONCE into a
+    single contiguous uint8 buffer and tiled zero-copy from there —
+    one payload write total, versus tobytes()×3 + concat + the
+    pandas→Arrow serializer copy per payload on the pandas path.
+    Contiguous dst groups mean each segment's entries are a contiguous
+    slice of the lexsorted (label, count) arrays — no fancy gather.
+    """
+    import pyarrow as pa
+
+    bids = bucket_ids_sorted(num_buckets)
+    bids_i32 = np.ascontiguousarray(bids, dtype=np.int32)
+    schema = pa.schema(
+        [("bucket", pa.int32()), ("src_bucket", pa.int32()), ("payload", pa.binary())]
+    )
+    all_dst = pa.array(bids_i32)
+
+    def fn(batches):
+        import time
+
+        for batch in batches:
+            bcol = batch.column(batch.schema.get_field_index("bucket"))
+            pcol = batch.column(batch.schema.get_field_index("payload"))
+            for i in range(batch.num_rows):
+                t0 = time.perf_counter()
+                b = int(bcol[i].as_py())
+                pbuf = pcol[i].as_buffer()
+                carrier = pa.BinaryArray.from_buffers(
+                    pa.binary(), 1,
+                    [None, pa.py_buffer(np.asarray([0, pbuf.size], np.int32)), pbuf],
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([b], pa.int32()), pa.array([-1], pa.int32()), carrier],
+                    schema=schema,
+                )
+                blk = load_block(block_dir, b)
+                if blk is None or blk["n_edges"] == 0:
+                    continue
+                state = np.frombuffer(pbuf, dtype=np.int64)
+                pos = _static_positions(block_dir, b, blk)
+                lab = state[pos]
+                gi = _group_idx(block_dir, b, blk)
+                o = np.lexsort((lab, gi))
+                gi_s, lab_s = gi[o], lab[o]
+                bnd = np.flatnonzero(
+                    np.r_[True, (gi_s[1:] != gi_s[:-1]) | (lab_s[1:] != lab_s[:-1])]
+                )
+                cnt = np.diff(np.append(bnd, len(gi_s))).astype(np.int32)
+                g_at = gi_s[bnd]
+                lab_at = lab_s[bnd]
+                n_groups = len(blk["starts"])
+                k_per_dst = np.bincount(g_at, minlength=n_groups).astype(np.int32)
+                ent_all = np.concatenate([[0], np.cumsum(k_per_dst, dtype=np.int64)])
+                off = np.asarray(_gather_offsets(block_dir, b, blk, num_buckets))
+                # per-dst-bucket byte sizes: 4*nk + 12*ne
+                lo_g = off[bids]
+                hi_g = np.empty(num_buckets, np.int64)
+                hi_g[:-1] = off[bids[1:]]
+                hi_g[-1] = off[-1]
+                nk = hi_g - lo_g
+                ne = ent_all[hi_g] - ent_all[lo_g]
+                sizes = 4 * nk + 12 * ne
+                offsets = np.concatenate([[0], np.cumsum(sizes)])
+                buf = np.empty(int(offsets[-1]), np.uint8)
+                for j in range(num_buckets):
+                    lo, hi = int(lo_g[j]), int(hi_g[j])
+                    if hi <= lo:
+                        continue
+                    e_lo, e_hi = int(ent_all[lo]), int(ent_all[hi])
+                    p = int(offsets[j])
+                    kb = 4 * (hi - lo)
+                    lb = 8 * (e_hi - e_lo)
+                    cb = 4 * (e_hi - e_lo)
+                    buf[p:p + kb] = k_per_dst[lo:hi].view(np.uint8)
+                    buf[p + kb:p + kb + lb] = lab_at[e_lo:e_hi].view(np.uint8)
+                    buf[p + kb + lb:p + kb + lb + cb] = cnt[e_lo:e_hi].view(np.uint8)
+                yield pa.RecordBatch.from_arrays(
+                    [all_dst, pa.array(np.full(num_buckets, b, np.int32)),
+                     _binary_tiles(buf, offsets)],
+                    schema=schema,
+                )
+                _trace("pgather_mode", t0, bucket=b, edges=blk["n_edges"])
+
+    return fn
+
+
+def packed_finish_mode_arrow_fn(block_dir: str, num_buckets: int):
+    """applyInArrow twin of :func:`packed_finish_mode_fn` — identical
+    combine_mode math; payloads are parsed from the Arrow buffers
+    without materializing Python bytes."""
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [("bucket", pa.int32()), ("payload", pa.binary()), ("delta", pa.float64()),
+         ("dangling", pa.float64()), ("active", pa.int64())]
+    )
+
+    def fn(key, table):
+        import time
+
+        t0 = time.perf_counter()
+        c = int(key[0].as_py())
+        vtx = load_vertices(block_dir, c)
+        if vtx is None:
+            return out_schema.empty_table()
+        n_c = len(vtx["ids"])
+        flay = _finish_layout(block_dir, c, num_buckets)
+        fpos, foff = np.asarray(flay["pos"]), np.asarray(flay["offsets"])
+        srcb = table.column("src_bucket").to_numpy()
+        pcol = table.column("payload")
+        prev = None
+        pos_parts, lab_parts, cnt_parts = [], [], []
+        for i in range(len(srcb)):
+            b = int(srcb[i])
+            buf = pcol[i].as_buffer()
+            if b == -1:
+                prev = np.frombuffer(buf, dtype=np.int64)
+                continue
+            seg = fpos[foff[b]:foff[b + 1]]
+            nk = len(seg)
+            if nk == 0 or buf.size == 0:
+                continue
+            k = np.frombuffer(buf, dtype=np.int32, count=nk)
+            total = int(k.sum())
+            labels = np.frombuffer(buf, dtype=np.int64, count=total, offset=4 * nk)
+            counts = np.frombuffer(buf, dtype=np.int32, count=total,
+                                   offset=4 * nk + 8 * total)
+            pos_parts.append(np.repeat(seg.astype(np.int64), k))
+            lab_parts.append(labels)
+            cnt_parts.append(counts.astype(np.int64))
+        if prev is None:
+            prev = np.asarray(vtx["ids"], dtype=np.int64).copy()
+        partials = pd.DataFrame({
+            "dst": np.concatenate(pos_parts) if pos_parts else np.empty(0, np.int64),
+            "label": np.concatenate(lab_parts) if lab_parts else np.empty(0, np.int64),
+            "cnt": np.concatenate(cnt_parts) if cnt_parts else np.empty(0, np.int64),
+        })
+        carriers = pd.DataFrame({"dst": np.arange(n_c, dtype=np.int64), "label": prev})
+        _, win_lab, prev_aligned = combine_mode(partials, carriers)
+        changed = int((win_lab != prev_aligned).sum())
+        new = np.ascontiguousarray(win_lab, dtype=np.int64)
+        _trace("pfinish_mode", t0, bucket=c, msgs=len(srcb))
+        return pa.Table.from_arrays(
+            [pa.array([c], pa.int32()),
+             _binary_tiles(new, np.asarray([0, new.nbytes], np.int64)),
+             pa.array([float(changed)], pa.float64()),
+             pa.array([0.0], pa.float64()),
+             pa.array([changed], pa.int64())],
+            schema=out_schema,
+        )
+
+    return fn

@@ -13,6 +13,8 @@ single partition.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 from graftpark.graph import Graph, choose_strategy, maybe_broadcast
@@ -29,6 +31,7 @@ def label_propagation(
     broadcast_state: bool | None = None,
     strategy: str = "auto",
     block_dir: str | None = None,
+    arrow_native: bool | None = None,
 ) -> LoopResult:
     """State: ``(id, label, prev_label)``; result = select(id, label)."""
     spark = graph.spark
@@ -52,7 +55,7 @@ def label_propagation(
     if strategy == "packed":
         return _lp_packed(
             graph, max_supersteps, n_part, block_dir,
-            checkpoint_dir, checkpoint_every, resume,
+            checkpoint_dir, checkpoint_every, resume, arrow_native,
         )
     use_bc = choose_strategy(n, broadcast_state)
     graph.persist_for_iteration(n_part, key=None if use_bc else "src")
@@ -254,6 +257,7 @@ def _lp_packed(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
     resume: bool = False,
+    arrow_native: bool | None = None,
 ) -> LoopResult:
     """Packed mode-semiring label propagation — the at-scale LP path.
 
@@ -272,7 +276,9 @@ def _lp_packed(
         bucket_col,
         ensure_edge_blocks,
         make_packed_checkpointer,
+        packed_finish_mode_arrow_fn,
         packed_finish_mode_fn,
+        packed_gather_mode_arrow_fn,
         packed_gather_mode_fn,
         vertex_sidecar_writer,
     )
@@ -304,13 +310,27 @@ def _lp_packed(
             state0, last, initial_metrics = rp
             start = last + 1
 
-    gather = packed_gather_mode_fn(block_dir, n_part)
-    finish = packed_finish_mode_fn(block_dir, n_part)
+    # arrow_native mirrors the packed-PageRank default: zero-copy payload
+    # serialization via mapInArrow/applyInArrow (same rows, same math —
+    # regression-tested exact equality); GRAFTPARK_PACKED_ARROW=0 or
+    # arrow_native=False restores the pandas-UDF path.
+    if arrow_native is None:
+        arrow_native = os.environ.get("GRAFTPARK_PACKED_ARROW", "1") == "1"
     msg_schema = "bucket int, src_bucket int, payload binary"
+    if arrow_native:
+        gather = packed_gather_mode_arrow_fn(block_dir, n_part)
+        finish = packed_finish_mode_arrow_fn(block_dir, n_part)
 
-    def step(state: DataFrame, i: int) -> DataFrame:
-        msgs = state.mapInPandas(gather, schema=msg_schema)
-        return msgs.groupBy("bucket").applyInPandas(finish, schema=PACKED_SCHEMA)
+        def step(state: DataFrame, i: int) -> DataFrame:
+            msgs = state.mapInArrow(gather, schema=msg_schema)
+            return msgs.groupBy("bucket").applyInArrow(finish, schema=PACKED_SCHEMA)
+    else:
+        gather = packed_gather_mode_fn(block_dir, n_part)
+        finish = packed_finish_mode_fn(block_dir, n_part)
+
+        def step(state: DataFrame, i: int) -> DataFrame:
+            msgs = state.mapInPandas(gather, schema=msg_schema)
+            return msgs.groupBy("bucket").applyInPandas(finish, schema=PACKED_SCHEMA)
 
     def observe_cols() -> dict:
         return {"changed": F.sum("active")}

@@ -218,3 +218,34 @@ def test_lp_packed_fixture(spark, tmp_path):
          for r in label_propagation(g, strategy="packed", max_supersteps=3,
                                     block_dir=str(tmp_path / "blk")).state.collect()}
     assert a == b
+
+
+def test_cc_packed_arrow_matches_pandas(spark, powerlaw_graph, tmp_path):
+    """The Arrow-native packed min-semiring path (mapInArrow/applyInArrow,
+    blocks.py packed_gather_min_arrow_fn) is the same dataflow as the
+    pandas-UDF packed path — int64 labels, so equality is EXACT."""
+    blk = str(tmp_path / "blk")
+    a = _comps(connected_components(powerlaw_graph, strategy="packed",
+                                    block_dir=blk, arrow_native=True))
+    b = _comps(connected_components(powerlaw_graph, strategy="packed",
+                                    block_dir=blk, arrow_native=False))
+    assert a == b
+    c = _comps(connected_components(powerlaw_graph, strategy="dataframe"))
+    assert a == c
+
+
+def test_labelprop_packed_arrow_matches_pandas(spark, powerlaw_graph, tmp_path):
+    """Arrow-native packed mode-semiring path (single-buffer composite
+    payload tiling, blocks.py packed_gather_mode_arrow_fn) — exact
+    equality with the pandas packed path at every superstep count."""
+    blk = str(tmp_path / "blk")
+    for steps in (3, 7):
+        a = {r["id"]: r["label"]
+             for r in label_propagation(powerlaw_graph, strategy="packed",
+                                        max_supersteps=steps, block_dir=blk,
+                                        arrow_native=True).state.collect()}
+        b = {r["id"]: r["label"]
+             for r in label_propagation(powerlaw_graph, strategy="packed",
+                                        max_supersteps=steps, block_dir=blk,
+                                        arrow_native=False).state.collect()}
+        assert a == b
