@@ -86,9 +86,16 @@ g = Graph(spark.read.parquet(data), assume_normalized=True)
 # reads 1.3-3x slower than steady state (observed 2026-08-18).
 strategy = os.environ.get("GRAFTPARK_SCALING_STRATEGY", "packed")
 k = int(os.environ.get("GRAFTPARK_SCALING_STEPS_PER_JOB", "4" if strategy == "packed" else "1"))
-pagerank(g, tol=0.0, max_supersteps=k, steps_per_job=k, strategy=strategy,
-         block_dir=block_dir, num_partitions=buckets,
-         payload_dtype=os.environ.get("GRAFTPARK_SCALING_DTYPE", "float32"))
+# 3 fused jobs, not 1: the shared VM sometimes shows a multi-job warm-up
+# transient (first job up to 5x steady state, BOTH serialization paths —
+# BENCH/ab_arrow_r05.md) that a single-job warmup does not absorb.
+# Identical at both levels; warmup walls are recorded in the result so a
+# residual transient stays visible.
+wu_steps = int(os.environ.get("GRAFTPARK_SCALING_WARMUP_STEPS", str(3 * k)))
+wu = pagerank(g, tol=0.0, max_supersteps=wu_steps, steps_per_job=k, strategy=strategy,
+              block_dir=block_dir, num_partitions=buckets,
+              payload_dtype=os.environ.get("GRAFTPARK_SCALING_DTYPE", "float32"))
+wu_walls = [round(m["wall_s"], 2) for m in wu.metrics]
 if os.environ.get("GRAFTPARK_SCALING_WARMUP_ONLY") == "1":
     print("SCALING_RESULT " + json.dumps({"warmup_only": True}))
     spark.stop()
@@ -109,6 +116,7 @@ print("SCALING_RESULT " + json.dumps({
     "min_superstep_s": round(min(walls), 4),
     "edges_per_sec_per_superstep": round(e_dir / mean_step),
     "walls": [round(w, 2) for w in walls],
+    "warmup_walls": wu_walls,
 }))
 spark.stop()
 """
