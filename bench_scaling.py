@@ -407,6 +407,19 @@ subsystem, not by the engine's dataflow — quantified in round 3:
   REGARDLESS of process topology: the ceiling is the box's one memory
   subsystem, not JVM count, scheduling, or the shuffle layer.
 
+- The 2026-08-19 runs (eff 0.203 / 0.293) are the sharpest demonstration
+  of the shared-host ceiling yet: in the SAME runs, the pinned 8-core
+  level set back-to-back all-time bests (44.2M then 46.2M e/s — the
+  Arrow-native packed path, faster than every earlier 8-core reading)
+  while the pinned 32-core level managed 36-54M e/s against its own
+  114.5M historical best, with warm supersteps of 4.7-6.8 s vs the
+  06:22 run's 2.2 s. An interleaved arrow/pandas/arrow A/B on the same
+  blocks (BENCH/ab_arrow_r05.md) shows both serialization paths slow
+  down identically, so the phase is host-side bandwidth theft, visible
+  ONLY at high concurrency — exactly the signature of a co-tenant
+  saturating the shared memory subsystem. Low-core levels keep their
+  per-core headroom and are immune.
+
 On a real N vs 4N EXECUTOR cluster each executor brings its own memory
 bandwidth and NVMe, which is exactly the resource that saturates here;
 the 2->8 pair (where this box still has bandwidth headroom per core)
