@@ -420,6 +420,20 @@ subsystem, not by the engine's dataflow — quantified in round 3:
   saturating the shared memory subsystem. Low-core levels keep their
   per-core headroom and are immune.
 
+- The 2026-08-19 **2->8 re-run at HEAD** (eff 0.749 vs the round-3
+  0.875 headline) shows the same mechanism from the other side. The
+  Arrow-native packed path lifted the 2-core level from 4.4M to 7.3M
+  e/s per core (8.9M -> 14.6M e/s, the fastest 2-core reading ever
+  recorded here) and the 8-core level to 43.9M e/s — BOTH absolute
+  levels improved over the 0.875 run — yet the measured ratio fell,
+  because on a fixed-bandwidth box a faster per-core kernel moves
+  every level closer to the same DRAM ceiling: the efficiency metric
+  penalizes absolute speedups. On a real cluster aggregate bandwidth
+  grows with executor count and this artifact disappears; the 0.875
+  headline (layout v2, slower per-core, farther from the ceiling) and
+  the 0.749 HEAD run are both kept, unredacted, as the bracketing
+  evidence.
+
 On a real N vs 4N EXECUTOR cluster each executor brings its own memory
 bandwidth and NVMe, which is exactly the resource that saturates here;
 the 2->8 pair (where this box still has bandwidth headroom per core)
