@@ -156,7 +156,10 @@ def run_level(cpus: int, buckets: int, data: str, blocks: str, pin: bool,
     cmd = [sys.executable, "-c", CHILD]
     if pin:
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-    out = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=2400)
+    # 2400s fits every >=2-core level; a pinned 1-core level (JVM task
+    # thread + Arrow worker sharing one core) needs more — override via env
+    timeout_s = int(os.environ.get("GRAFTPARK_SCALING_TIMEOUT", "2400"))
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=timeout_s)
     for line in out.stdout.splitlines():
         if line.startswith("SCALING_RESULT "):
             return json.loads(line[len("SCALING_RESULT "):])
