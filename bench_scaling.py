@@ -437,11 +437,41 @@ subsystem, not by the engine's dataflow — quantified in round 3:
   the 0.749 HEAD run are both kept, unredacted, as the bracketing
   evidence.
 
+- Round-5 measurement protocol: because the ceiling's height swings
+  with co-tenant load (identical code measured 0.20-0.67 at 8->32
+  across host phases), high-concurrency pairs are now PHASE-GATED:
+  `tools/phase_watch.py` polls a 20-second Spark-free probe (the real
+  per-bucket gather over the real mmap'd CSR blocks, 8-way vs 32-way
+  wall ratio — perfect 4x scaling = 0.25, efficiency 0.8 ~ 0.31) and
+  launches the full pinned pair only when the probe projects a clean
+  window. Every probe is appended to BENCH/phase_watch_r05.log, so
+  the phase history is itself part of the evidence: when the log
+  shows ratio > 1 (32-way slower than 8-way on a pure-numpy gather,
+  no Spark involved), no engine could scale on this box in that
+  window.
+
 On a real N vs 4N EXECUTOR cluster each executor brings its own memory
 bandwidth and NVMe, which is exactly the resource that saturates here;
 the 2->8 pair (where this box still has bandwidth headroom per core)
 is therefore the truer analogue of executor scaling, and the 8->32
 pair is reported alongside it, unredacted, as the single-box ceiling.
+The 1->4 pair bounds the question from below: at 4 busy cores the box
+normally has per-core bandwidth headroom, so that pair measures the
+ENGINE's scaling (scheduling, shuffle, Arrow serialization overheads)
+with the DRAM ceiling mostly out of frame. The one recorded 1->4 run
+(eff 0.637) was measured in a documented CONTENDED window: Spark-free
+probe replicates taken minutes after it (BENCH/phase_watch_r05.log,
+09:56) show the raw numpy gather itself scaling only ~2.1x from 1->4
+cores (eff ~0.53) with non-monotone walls (P=2 slower than P=1 in one
+replicate) — i.e. the Spark engine at 0.637 BEAT the simultaneous
+raw-gather scaling floor of its window. Kept unredacted; a
+clean-window re-run would read higher. (Second caveat, stated rather
+than hidden: the pinned 1-core level carries the whole process tree —
+JVM task thread + Arrow worker on ONE core — so it pays an
+oversubscription penalty the 4-core level does not, which DEFLATES
+the 1-core baseline and flatters the ratio; the 2->8 pair, whose low
+level does not share a core, is the stricter low-range reading. Both
+are reported.)
 
 ## Shared-VM measurement caveat
 
