@@ -450,6 +450,28 @@ subsystem, not by the engine's dataflow — quantified in round 3:
   no Spark involved), no engine could scale on this box in that
   window.
 
+- The criterion's arithmetic ceiling on this box, quantified: with the
+  8-core level at its measured optimum (42-46M e/s across the five
+  most recent runs), efficiency 0.8 requires the 32-core level to
+  sustain 137-148M e/s. The Spark-free pure-numpy gather over the same
+  256M-edge layout-v4 CSR blocks peaks at ~141M e/s aggregate at
+  32-way on this host's quietest measured phase (tools/kernel_lab.py,
+  BENCH/kernel_lab_r05.md, best of 6 samples) —
+  the bar sits AT or ABOVE the hardware's own zero-overhead ceiling
+  for this memory-bound kernel. Meeting 0.8 at 8->32 here would
+  require the full distributed superstep (gather + Arrow
+  serialization + shuffle + keyed reduce + convergence probe) to run
+  with <=3% total overhead versus a bare in-process numpy loop, on a
+  co-tenanted VM. The engine's best end-to-end 32-core reading
+  (114.5M e/s) is within 19% of that bare-metal ceiling — the
+  remaining gap IS the entire distributed-systems cost of the
+  superstep. Where per-core bandwidth headroom exists the criterion is
+  met (2->8 = 0.875). On a real 4N-executor cluster the 137-148M e/s
+  requirement is spread across four machines' independent memory
+  subsystems (~35-37M e/s per machine — comfortably under each one's
+  measured 8-core throughput), which is precisely the resource a
+  bigger cluster multiplies and this one box cannot.
+
 On a real N vs 4N EXECUTOR cluster each executor brings its own memory
 bandwidth and NVMe, which is exactly the resource that saturates here;
 the 2->8 pair (where this box still has bandwidth headroom per core)
