@@ -275,6 +275,11 @@ def record_pair(n_low: int, n_high: int, result: dict) -> None:
         # different resource (separate JVMs + RPC shuffle) than the
         # thread-count local[N] pairs and must never mix histories
         key += " local-cluster"
+    if result["low"]["edges"] != 256_000_000:
+        # non-default input sizes (e.g. the 10^9-edge run matching the
+        # north-rule metric's named scale) get their own pair history —
+        # throughput at different E must never mix into one best-of
+        key += f" @{result['low']['edges']}e"
     entry = pairs.get(key) or {"runs": []}
     if "runs" not in entry:  # legacy single-run entry: wrap it
         entry = {"runs": [entry]}
@@ -303,6 +308,7 @@ def write_baseline_md(n_vertices: int, buckets: int) -> None:
         best = max(runs, key=lambda r: r["value"])
         lo, hi = best["low"], best["high"]
         edges = edges or lo["edges"]
+        edge_tag = "" if lo["edges"] == edges else f", {lo['edges']:,} edges"
         lc = "local-cluster" in k
         n_lo, n_hi = _key(k), int(k.split("->")[1].split()[0])
         label = (
@@ -311,17 +317,17 @@ def write_baseline_md(n_vertices: int, buckets: int) -> None:
             else (lambda n: f"local[{n}] (pinned {n} cores)")
         )
         rows.append(
-            f"| {label(n_lo)} | {lo['supersteps']} | "
+            f"| {label(n_lo)}{edge_tag} | {lo['supersteps']} | "
             f"{lo['mean_superstep_s']} | {lo['edges_per_sec_per_superstep']:,} |"
         )
         rows.append(
-            f"| {label(n_hi)} | {hi['supersteps']} | "
+            f"| {label(n_hi)}{edge_tag} | {hi['supersteps']} | "
             f"{hi['mean_superstep_s']} | {hi['edges_per_sec_per_superstep']:,} |"
         )
         met = "MET" if best["value"] >= 0.8 else "NOT met"
         kind = " (executor-count, separate JVMs)" if lc else ""
         summaries.append(
-            f"- **{n_lo} -> {n_hi} cores{kind}: efficiency {best['value']:.3f}** "
+            f"- **{n_lo} -> {n_hi} cores{kind}{edge_tag}: efficiency {best['value']:.3f}** "
             f"({met}; best of {len(runs)} run(s), {n_lo}-core best "
             f"{lo['edges_per_sec_per_superstep']:,} e/s vs {n_hi}-core best "
             f"{hi['edges_per_sec_per_superstep']:,} e/s)"
@@ -343,7 +349,8 @@ def write_baseline_md(n_vertices: int, buckets: int) -> None:
 
 Job: PageRank power iteration (damping 0.85, tol 1e-6) to convergence
 on the seeded power-law edge table ({edges:,} directed edges,
-{n_vertices:,} vertex id space, out/in-degree exponents 0.7/0.5),
+out/in-degree exponents 0.7/0.5, mean out-degree 16; pairs measured
+at a different input size are tagged inline with their edge count),
 identical input at two parallelism levels, fresh JVM each, warm-up run
 excluded. Each level's ENTIRE process tree (JVM + Arrow UDF workers)
 is pinned to exactly N cores with `taskset -c 0..N-1`, so the ratio is
